@@ -1,0 +1,184 @@
+"""GestureNet — temporal ControlNet over the frozen SVD UNet encoder.
+
+Replicates reference svd/temporal_controlnet.py:75-641: a trainable copy of
+the UNet's down/mid path with
+
+* ``conv_in_concat``: zero-initialised 12->320 conv consuming
+  ``cat(noisy+cond latents [8], VAE(gesture raster) [4])`` (:200-206, concat
+  at :576-580);
+* zero-initialised 1x1 output convs: one for conv-in, one per resblock, one
+  per downsampler, plus a mid zero conv (:252-297);
+* heads ``(5,10,20,20)`` — index 2 differs from the UNet's ``(5,10,10,20)``
+  (:168); the checkpoint dictates;
+* output scaling: uniform ``conditioning_scale`` or ``guess_mode`` logspace
+  0.1 -> 1.0 (:625-633).  ``inner_conditioning_scale`` is accepted but unused
+  in the reference forward; we keep it for API parity.
+
+``from_unet`` weight seeding lives in ``weights/convert.py``
+(controlnet_params_from_unet) to keep the module pure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import TimestepEmbedding, sinusoidal_embedding
+from .resnet import Conv2d
+from .unet_blocks import (
+    CrossAttnDownBlockSpatioTemporal,
+    DownBlockSpatioTemporal,
+    UNetMidBlockSpatioTemporal,
+)
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ControlNetConfig:
+    in_channels: int = 8
+    conditioning_channels: int = 3
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 768
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    transformer_layers_per_block: int = 1
+    num_attention_heads: Tuple[int, ...] = (5, 10, 20, 20)
+    down_block_types: Tuple[str, ...] = (
+        "CrossAttnDownBlockSpatioTemporal",
+        "CrossAttnDownBlockSpatioTemporal",
+        "CrossAttnDownBlockSpatioTemporal",
+        "DownBlockSpatioTemporal",
+    )
+
+    @staticmethod
+    def tiny():
+        return ControlNetConfig(
+            block_out_channels=(32, 64, 64, 64),
+            num_attention_heads=(2, 2, 4, 4),
+            cross_attention_dim=48,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=24,
+        )
+
+
+class ZeroConv1x1(nn.Module):
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.features,
+            (1, 1),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+class ControlNetModel(nn.Module):
+    config: ControlNetConfig = ControlNetConfig()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # [B, F, H, W, 8]
+        timestep: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,  # [B, S, D]
+        added_time_ids: jnp.ndarray,  # [B, 3]
+        controlnet_cond: jnp.ndarray,  # [B, F, H, W, 4] VAE-encoded gestures
+        conditioning_scale: float = 1.0,
+        guess_mode: bool = False,
+    ):
+        cfg = self.config
+        b, f = sample.shape[:2]
+        ch0 = cfg.block_out_channels[0]
+        time_embed_dim = ch0 * 4
+
+        timesteps = jnp.broadcast_to(jnp.asarray(timestep, jnp.float32).reshape(-1), (b,))
+        t_emb = sinusoidal_embedding(timesteps, ch0).astype(self.dtype)
+        emb = TimestepEmbedding(time_embed_dim, dtype=self.dtype, name="time_embedding")(t_emb)
+        time_embeds = sinusoidal_embedding(
+            added_time_ids.reshape(-1), cfg.addition_time_embed_dim
+        ).reshape(b, -1).astype(self.dtype)
+        emb = emb + TimestepEmbedding(time_embed_dim, dtype=self.dtype, name="add_embedding")(
+            time_embeds
+        )
+
+        temb = jnp.broadcast_to(emb[:, None, :], (b, f, emb.shape[-1]))
+        context = jnp.repeat(encoder_hidden_states.astype(self.dtype), f, axis=0)
+        image_only_indicator = jnp.zeros((b, f), self.dtype)
+
+        x = jnp.concatenate(
+            [sample.astype(self.dtype), controlnet_cond.astype(self.dtype)], axis=-1
+        )
+        x = nn.Conv(
+            ch0,
+            (3, 3),
+            padding=((1, 1), (1, 1)),
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_in_concat",
+        )(x.reshape(b * f, *x.shape[2:])).reshape(b, f, *x.shape[2:4], ch0)
+
+        down_res: Tuple[jnp.ndarray, ...] = (x,)
+        for i, block_type in enumerate(cfg.down_block_types):
+            is_final = i == len(cfg.block_out_channels) - 1
+            if block_type == "CrossAttnDownBlockSpatioTemporal":
+                x, states = CrossAttnDownBlockSpatioTemporal(
+                    cfg.block_out_channels[i],
+                    heads=cfg.num_attention_heads[i],
+                    num_layers=cfg.layers_per_block,
+                    transformer_layers=cfg.transformer_layers_per_block,
+                    cross_attention_dim=cfg.cross_attention_dim,
+                    add_downsample=not is_final,
+                    dtype=self.dtype,
+                    name=f"down_blocks_{i}",
+                )(x, temb, context, image_only_indicator)
+            else:
+                x, states = DownBlockSpatioTemporal(
+                    cfg.block_out_channels[i],
+                    num_layers=cfg.layers_per_block,
+                    add_downsample=not is_final,
+                    dtype=self.dtype,
+                    name=f"down_blocks_{i}",
+                )(x, temb, image_only_indicator)
+            down_res += states
+
+        x = UNetMidBlockSpatioTemporal(
+            heads=cfg.num_attention_heads[-1],
+            transformer_layers=cfg.transformer_layers_per_block,
+            cross_attention_dim=cfg.cross_attention_dim,
+            dtype=self.dtype,
+            name="mid_block",
+        )(x, temb, context, image_only_indicator)
+
+        ctrl_res = []
+        for i, r in enumerate(down_res):
+            rb, rf = r.shape[:2]
+            out = ZeroConv1x1(r.shape[-1], dtype=self.dtype, name=f"controlnet_down_blocks_{i}")(
+                r.reshape(rb * rf, *r.shape[2:])
+            ).reshape(r.shape)
+            ctrl_res.append(out)
+        mid = ZeroConv1x1(x.shape[-1], dtype=self.dtype, name="controlnet_mid_block")(
+            x.reshape(b * f, *x.shape[2:])
+        ).reshape(x.shape)
+
+        if guess_mode:
+            scales = np.logspace(-1, 0, len(ctrl_res) + 1)  # 0.1 .. 1.0
+            ctrl_res = [r * float(s) * conditioning_scale for r, s in zip(ctrl_res, scales)]
+            mid = mid * float(scales[-1]) * conditioning_scale
+        else:
+            ctrl_res = [r * conditioning_scale for r in ctrl_res]
+            mid = mid * conditioning_scale
+
+        return tuple(ctrl_res), mid

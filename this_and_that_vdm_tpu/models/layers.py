@@ -1,0 +1,226 @@
+"""Shared flax primitives for the spatio-temporal diffusion stack.
+
+All tensors are channels-last (NHWC / [..., C]) — the native TPU conv layout.
+Normalisation statistics and attention softmax always run in float32
+regardless of the compute dtype (bf16-safe); matmuls run in the module's
+``dtype`` with fp32 accumulation via ``preferred_element_type`` handled by XLA.
+
+Numerics replicate the diffusers building blocks the reference model is made
+of (reference: svd/diffusion_arch/transformer_temporal.py imports
+BasicTransformerBlock / TemporalBasicTransformerBlock / AlphaBlender at
+:19-24; svd/unet_spatio_temporal_condition.py imports TimestepEmbedding /
+Timesteps at :11).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+def sinusoidal_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Transformer sinusoidal timestep embedding, float32 ``[B, dim]``.
+
+    Matches diffusers ``Timesteps(dim, flip_sin_to_cos=True,
+    downscale_freq_shift=0)`` used for UNet time / micro-conditioning /
+    frame-position embeddings (reference: unet_spatio_temporal_condition.py
+    :143,:148; transformer_temporal.py:266).
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear -> SiLU -> linear MLP over a sinusoid (diffusers TimestepEmbedding)."""
+
+    time_embed_dim: int
+    out_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_1")(x)
+        x = jax.nn.silu(x)
+        x = nn.Dense(self.out_dim or self.time_embed_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+def _group_norm(x: jnp.ndarray, scale, bias, num_groups: int, eps: float) -> jnp.ndarray:
+    """GroupNorm over channels-last input; stats over every non-batch axis.
+
+    Semantics of torch ``nn.GroupNorm`` on the channel-first mirror of ``x``:
+    for rank-5 temporal tensors the frame axis participates in the statistics.
+    Always computed in float32.
+    """
+    c = x.shape[-1]
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    grouped = xf.reshape(*x.shape[:-1], num_groups, c // num_groups)
+    # reduce over all axes except batch (0) and group (-2)
+    axes = tuple(range(1, grouped.ndim - 2)) + (grouped.ndim - 1,)
+    mean = jnp.mean(grouped, axis=axes, keepdims=True)
+    var = jnp.var(grouped, axis=axes, keepdims=True)
+    normed = (grouped - mean) * jax.lax.rsqrt(var + eps)
+    normed = normed.reshape(x.shape)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return _group_norm(x, scale, bias, self.num_groups, self.eps)
+
+
+def layer_norm_fp32(x: jnp.ndarray, scale, bias, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis with fp32 statistics."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        out = out * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(orig_dtype)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return layer_norm_fp32(x, scale, bias, self.eps)
+
+
+class Attention(nn.Module):
+    """Multi-head attention (diffusers ``Attention`` with AttnProcessor2_0).
+
+    q/k/v projections have no bias, output projection has bias; softmax in
+    fp32. ``context`` enables cross-attention (kv projected from
+    ``cross_attention_dim``-sized states).
+    """
+
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        out_dim = x.shape[-1]
+        ctx = x if context is None else context
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        b, s, _ = q.shape
+        skv = k.shape[1]
+        q = q.reshape(b, s, self.heads, self.dim_head)
+        k = k.reshape(b, skv, self.heads, self.dim_head)
+        v = v.reshape(b, skv, self.heads, self.dim_head)
+
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, s, inner)
+        return nn.Dense(out_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward: Linear(d, 2*i) -> x * gelu(gate) -> Linear(i, out)."""
+
+    dim_out: Optional[int] = None
+    mult: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
+        return nn.Dense(self.dim_out or dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class AlphaBlender(nn.Module):
+    """Learned spatial/temporal mixer (diffusers AlphaBlender).
+
+    ``merge_strategy='learned_with_images'``: per-position
+    ``alpha = 1 where image_only else sigmoid(mix_factor)``;
+    ``'learned'``: ``alpha = sigmoid(mix_factor)`` everywhere.
+    Output ``alpha * spatial + (1-alpha) * temporal`` — or the transpose when
+    ``switch_spatial_to_temporal_mix`` (used by the VAE temporal decoder).
+    """
+
+    merge_strategy: str = "learned_with_images"
+    switch_spatial_to_temporal_mix: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x_spatial: jnp.ndarray,
+        x_temporal: jnp.ndarray,
+        image_only_indicator: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,), jnp.float32)
+        alpha_video = jax.nn.sigmoid(mix)[0]
+        if self.merge_strategy == "learned":
+            alpha = alpha_video
+        elif self.merge_strategy == "learned_with_images":
+            if image_only_indicator is None:
+                alpha = alpha_video
+            else:
+                # indicator [B, F]; broadcast to x rank. x is either
+                # [B, F, H, W, C] (resblocks) or [B*HW?, F, C]-folded handled
+                # by callers passing pre-broadcast indicator.
+                ind = image_only_indicator.astype(bool)
+                alpha = jnp.where(ind, 1.0, alpha_video)  # [B, F]
+                if x_spatial.ndim == 3:
+                    # tokens folded as [B*F, S, C] (spatio-temporal transformer)
+                    alpha = alpha.reshape(-1)[:, None, None]
+                else:
+                    # [B, F, ...spatial..., C] resblock layout
+                    alpha = alpha.reshape(
+                        alpha.shape + (1,) * (x_spatial.ndim - alpha.ndim)
+                    )
+        else:
+            raise ValueError(self.merge_strategy)
+        alpha = jnp.asarray(alpha, x_spatial.dtype)
+        if self.switch_spatial_to_temporal_mix:
+            alpha = 1.0 - alpha
+        return alpha * x_spatial + (1.0 - alpha) * x_temporal

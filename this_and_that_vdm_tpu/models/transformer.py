@@ -1,0 +1,168 @@
+"""Spatio-temporal transformer (the hot path of the SVD denoiser).
+
+Replicates reference svd/diffusion_arch/transformer_temporal.py:201-381
+(``TransformerSpatioTemporalModel``) and the diffusers
+``BasicTransformerBlock`` / ``TemporalBasicTransformerBlock`` it composes:
+
+* per layer: spatial block (self-attn over H*W tokens + cross-attn on the
+  78x1024 CLIP text+image states) then temporal block (attn over F frame
+  tokens with spatial positions folded into batch), merged by a learned
+  AlphaBlender;
+* temporal cross-attention context is the *first frame's* encoder states,
+  broadcast over spatial positions in hw-major order (:310-319) — the
+  reference/diffusers row ordering is replicated exactly (it only matters for
+  batch>1, i.e. the CFG pair);
+* learned frame-position embedding: sinusoid(arange(F)) -> MLP, added before
+  each temporal block (:328-339, :358-359).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    Attention,
+    FeedForward,
+    GroupNorm,
+    LayerNorm,
+    AlphaBlender,
+    TimestepEmbedding,
+    sinusoidal_embedding,
+)
+
+Dtype = Any
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, all residual."""
+
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        h = Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+            LayerNorm(name="norm1")(x)
+        )
+        x = x + h
+        if self.cross_attention_dim is not None:
+            h = Attention(
+                self.heads,
+                self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype,
+                name="attn2",
+            )(LayerNorm(name="norm2")(x), context)
+            x = x + h
+        h = FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        return x + h
+
+
+class TemporalBasicTransformerBlock(nn.Module):
+    """Attention over the frame axis; spatial tokens folded into batch.
+
+    Input ``[B*F, S, C]``; internally reordered to ``[B*S, F, C]``.
+    ``time_mix_inner_dim == dim`` in SVD so the input FF is residual.
+    """
+
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        num_frames: int,
+        context: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        bf, s, c = x.shape
+        b = bf // num_frames
+        h = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
+
+        residual = h
+        h = FeedForward(dtype=self.dtype, name="ff_in")(LayerNorm(name="norm_in")(h))
+        h = h + residual  # is_res: dim == time_mix_inner_dim
+
+        h = h + Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+            LayerNorm(name="norm1")(h)
+        )
+        if self.cross_attention_dim is not None:
+            h = h + Attention(
+                self.heads,
+                self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype,
+                name="attn2",
+            )(LayerNorm(name="norm2")(h), context)
+        h = h + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(h))
+
+        return h.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(bf, s, c)
+
+
+class TransformerSpatioTemporalModel(nn.Module):
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    cross_attention_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, F, H, W, C]
+        context: jnp.ndarray,  # [B*F, S, D] encoder states, frame-repeated
+        image_only_indicator: Optional[jnp.ndarray] = None,  # [B, F]
+    ) -> jnp.ndarray:
+        b, f, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        hw = hh * ww
+
+        # Temporal cross-attn context: first frame's states per batch element,
+        # broadcast hw-major (reference transformer_temporal.py:310-319).
+        ctx_first = context.reshape(b, f, *context.shape[1:])[:, 0]  # [B, S, D]
+        time_context = jnp.broadcast_to(
+            ctx_first[None], (hw,) + ctx_first.shape
+        ).reshape(hw * b, *ctx_first.shape[1:])
+
+        flat = x.reshape(b * f, hh, ww, c)
+        residual = flat
+        h = GroupNorm(32, 1e-6, name="norm")(flat)
+        h = h.reshape(b * f, hw, c)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)
+
+        # Frame-position embedding (b-major fold: rows [b*F + f]).
+        frame_ids = jnp.tile(jnp.arange(f, dtype=jnp.float32), (b,))
+        t_emb = sinusoidal_embedding(frame_ids, c).astype(h.dtype)
+        emb = TimestepEmbedding(c * 4, out_dim=c, dtype=self.dtype, name="time_pos_embed")(
+            t_emb
+        )[:, None, :]
+
+        for i in range(self.num_layers):
+            h = BasicTransformerBlock(
+                self.heads,
+                self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, context)
+            h_mix = TemporalBasicTransformerBlock(
+                self.heads,
+                self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype,
+                name=f"temporal_transformer_blocks_{i}",
+            )(h + emb, f, time_context)
+            h = AlphaBlender(merge_strategy="learned_with_images", name="time_mixer")(
+                h, h_mix, image_only_indicator
+            )
+
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+        h = h.reshape(b * f, hh, ww, c) + residual
+        return h.reshape(b, f, hh, ww, c)
