@@ -67,22 +67,6 @@ class ControlNetConfig:
         )
 
 
-class ZeroConv1x1(nn.Module):
-    features: int
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Conv(
-            self.features,
-            (1, 1),
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
-
-
 class ControlNetModel(nn.Module):
     config: ControlNetConfig = ControlNetConfig()
     dtype: Dtype = jnp.float32
@@ -120,15 +104,9 @@ class ControlNetModel(nn.Module):
         x = jnp.concatenate(
             [sample.astype(self.dtype), controlnet_cond.astype(self.dtype)], axis=-1
         )
-        x = nn.Conv(
-            ch0,
-            (3, 3),
-            padding=((1, 1), (1, 1)),
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            name="conv_in_concat",
-        )(x.reshape(b * f, *x.shape[2:])).reshape(b, f, *x.shape[2:4], ch0)
+        x = Conv2d(ch0, 3, dtype=self.dtype, name="conv_in_concat", zero_init=True)(
+            x.reshape(b * f, *x.shape[2:])
+        ).reshape(b, f, *x.shape[2:4], ch0)
 
         down_res: Tuple[jnp.ndarray, ...] = (x,)
         for i, block_type in enumerate(cfg.down_block_types):
@@ -165,13 +143,17 @@ class ControlNetModel(nn.Module):
         ctrl_res = []
         for i, r in enumerate(down_res):
             rb, rf = r.shape[:2]
-            out = ZeroConv1x1(r.shape[-1], dtype=self.dtype, name=f"controlnet_down_blocks_{i}")(
-                r.reshape(rb * rf, *r.shape[2:])
-            ).reshape(r.shape)
+            out = Conv2d(
+                r.shape[-1],
+                1,
+                dtype=self.dtype,
+                name=f"controlnet_down_blocks_{i}",
+                zero_init=True,
+            )(r.reshape(rb * rf, *r.shape[2:])).reshape(r.shape)
             ctrl_res.append(out)
-        mid = ZeroConv1x1(x.shape[-1], dtype=self.dtype, name="controlnet_mid_block")(
-            x.reshape(b * f, *x.shape[2:])
-        ).reshape(x.shape)
+        mid = Conv2d(
+            x.shape[-1], 1, dtype=self.dtype, name="controlnet_mid_block", zero_init=True
+        )(x.reshape(b * f, *x.shape[2:])).reshape(x.shape)
 
         if guess_mode:
             scales = np.logspace(-1, 0, len(ctrl_res) + 1)  # 0.1 .. 1.0

@@ -24,25 +24,32 @@ from .layers import GroupNorm
 Dtype = Any
 
 
-class Conv2d(nn.Module):
-    """3x3/1x1 conv on ``[N, H, W, C]`` (wraps flax Conv, torch-padding)."""
+def Conv2d(
+    features: int,
+    kernel_size: int = 3,
+    stride: int = 1,
+    dtype: Dtype = jnp.float32,
+    name: str = None,
+    zero_init: bool = False,
+) -> nn.Conv:
+    """3x3/1x1 conv on ``[N, H, W, C]`` with torch-style padding.
 
-    features: int
-    kernel_size: int = 3
-    stride: int = 1
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pad = (self.kernel_size - 1) // 2
-        return nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            padding=((pad, pad), (pad, pad)),
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+    Plain ``nn.Conv`` so the param path is ``<name>/kernel`` — a 1:1 mirror
+    of the HF checkpoint layout (weights/convert.py relies on this).
+    """
+    pad = (kernel_size - 1) // 2
+    init = {}
+    if zero_init:
+        init = dict(kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros)
+    return nn.Conv(
+        features,
+        (kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dtype=dtype,
+        name=name,
+        **init,
+    )
 
 
 class TemporalConv3(nn.Module):

@@ -1,0 +1,145 @@
+"""HF (diffusers/transformers) checkpoint -> JAX pytree converters.
+
+The flax modules in ``models/`` name their submodules so that the HF
+state-dict key of every tensor maps mechanically onto the flax param path:
+
+    torch ``down_blocks.0.resnets.1.spatial_res_block.conv1.weight``
+    ->  flax ``down_blocks_0 / resnets_1 / spatial_res_block / conv1 / kernel``
+
+Transforms by tensor rank:
+  * rank-1 ``weight``  -> norm ``scale`` (GroupNorm/LayerNorm)
+  * rank-2 ``weight``  -> linear ``kernel``  (transpose (1,0))
+  * rank-4 ``weight``  -> conv2d ``kernel``  (transpose (2,3,1,0) OIHW->HWIO)
+  * rank-5 ``weight``  -> temporal (3,1,1) conv -> ``kernel`` shape (3,I,O)
+                          (1,1,1) conv (temporal shortcut) -> dense (I,O)
+  * ``bias``           -> ``bias`` unchanged
+
+Special names: ``to_out.0`` -> ``to_out`` (diffusers wraps out-proj in a
+ModuleList with dropout); ``ff.net.0.proj`` -> ``ff/proj``; ``ff.net.2`` ->
+``ff/proj_out``; list indices fold into the parent name (``resnets.1`` ->
+``resnets_1``).
+
+The published weight repos this consumes (reference: test_code/inference.py
+:296-381): ``HikariDawn/This-and-That-1.{0,1}`` subfolders ``unet/`` and
+``gesturenet/``, plus the frozen SVD ``vae/``, ``image_encoder/`` and
+SD2.1 ``text_encoder/``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _is_int(s: str) -> bool:
+    return bool(re.fullmatch(r"\d+", s))
+
+
+def torch_key_to_flax_path(key: str) -> tuple:
+    """Map a diffusers state-dict key to the flax param path (sans leaf)."""
+    parts = key.split(".")
+    leaf = parts[-1]
+    parts = parts[:-1]
+
+    # ff.net.0.proj -> ff/proj ; ff.net.2 -> ff/proj_out ; to_out.0 -> to_out
+    out = []
+    i = 0
+    while i < len(parts):
+        p = parts[i]
+        if p == "net" and i + 1 < len(parts) and _is_int(parts[i + 1]):
+            idx = parts[i + 1]
+            if idx == "0":
+                # GEGLU wrapper: following part is "proj"
+                out[-1] = out[-1]  # keep "ff"/"ff_in"
+                i += 2
+                if i < len(parts) and parts[i] == "proj":
+                    out.append("proj")
+                    i += 1
+                continue
+            elif idx == "2":
+                out.append("proj_out")
+                i += 2
+                continue
+            else:  # net.1 = dropout, no params
+                i += 2
+                continue
+        if p == "to_out" and i + 1 < len(parts) and parts[i + 1] == "0":
+            out.append("to_out")
+            i += 2
+            continue
+        if _is_int(p) and out:
+            out[-1] = f"{out[-1]}_{p}"
+            i += 1
+            continue
+        out.append(p)
+        i += 1
+    return tuple(out), leaf
+
+
+def convert_tensor(leaf: str, arr: np.ndarray):
+    """Returns (flax_leaf_name, converted_array)."""
+    if leaf == "bias":
+        return "bias", arr
+    if leaf == "mix_factor":
+        return "mix_factor", arr.reshape(1)
+    if leaf != "weight":
+        return leaf, arr
+    if arr.ndim == 1:
+        return "scale", arr
+    if arr.ndim == 2:
+        return "kernel", arr.transpose(1, 0)
+    if arr.ndim == 4:
+        return "kernel", arr.transpose(2, 3, 1, 0)
+    if arr.ndim == 5:
+        o, i_, kt, kh, kw = arr.shape
+        assert (kh, kw) == (1, 1), f"unexpected 5D conv kernel {arr.shape}"
+        if kt == 1:  # temporal 1x1x1 shortcut -> dense
+            return "kernel", arr.reshape(o, i_).transpose(1, 0)
+        return "kernel", arr.reshape(o, i_, kt).transpose(2, 1, 0)
+    raise ValueError(f"cannot convert {leaf} with shape {arr.shape}")
+
+
+def torch_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
+    """Convert a flat torch state dict (numpy-valued) to nested flax params."""
+    params: Dict = {}
+    for key, value in state.items():
+        arr = np.asarray(value)
+        path, leaf = torch_key_to_flax_path(key)
+        leaf_name, conv = convert_tensor(leaf, arr)
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf_name] = conv
+    return {"params": params}
+
+
+def controlnet_params_from_unet(unet_params: Dict, controlnet_params: Dict) -> Dict:
+    """Seed a fresh ControlNet's params from a trained UNet (reference:
+    svd/temporal_controlnet.py:311-339 ``from_unet``): copy time_embedding
+    (+ sinusoid has no params), add_embedding, down_blocks and mid_block;
+    keep the zero-initialised conv_in_concat and zero convs."""
+    import copy
+
+    src = unet_params["params"]
+    dst = copy.deepcopy(controlnet_params)
+    d = dst["params"]
+    for name in list(d.keys()):
+        if (
+            name in ("time_embedding", "add_embedding", "mid_block")
+            or name.startswith("down_blocks_")
+        ):
+            d[name] = copy.deepcopy(src[name])
+    return dst
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Flat numpy state dict from a .safetensors file (no torch needed)."""
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
