@@ -239,7 +239,7 @@ class DownBlockST(nn.Module):
         )
         if downsample:
             ds = nn.Module()
-            ds.op = nn.Conv2d(cout, cout, 3, stride=2, padding=1)  # HF key: downsamplers.0.op
+            ds.conv = nn.Conv2d(cout, cout, 3, stride=2, padding=1)  # HF key: downsamplers.N.conv
             self.downsamplers = nn.ModuleList([ds])
 
     def forward(self, x, temb, f):
@@ -248,7 +248,7 @@ class DownBlockST(nn.Module):
             x = r(x, temb, f)
             states.append(x)
         if hasattr(self, "downsamplers"):
-            x = self.downsamplers[0].op(x)
+            x = self.downsamplers[0].conv(x)
             states.append(x)
         return x, states
 
@@ -264,7 +264,7 @@ class CrossDownBlockST(nn.Module):
         )
         if downsample:
             ds = nn.Module()
-            ds.op = nn.Conv2d(cout, cout, 3, stride=2, padding=1)  # HF key: downsamplers.0.op
+            ds.conv = nn.Conv2d(cout, cout, 3, stride=2, padding=1)  # HF key: downsamplers.N.conv
             self.downsamplers = nn.ModuleList([ds])
 
     def forward(self, x, temb, ctx, f):
@@ -273,7 +273,7 @@ class CrossDownBlockST(nn.Module):
             x = a(r(x, temb, f), ctx, f)
             states.append(x)
         if hasattr(self, "downsamplers"):
-            x = self.downsamplers[0].op(x)
+            x = self.downsamplers[0].conv(x)
             states.append(x)
         return x, states
 
@@ -473,3 +473,143 @@ class ControlNetOracle(nn.Module):
         out = [z(r) * scale for z, r in zip(self.controlnet_down_blocks, res)]
         mid = self.controlnet_mid_block(x) * scale
         return out, mid
+
+
+# ----------------------------- VAE oracle ---------------------------------
+
+
+class VAEResnet(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(32, cin, eps=1e-6)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(32, cout, eps=1e-6)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.conv_shortcut = nn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if hasattr(self, "conv_shortcut"):
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class VAEAttn(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(32, c, eps=1e-6)
+        self.to_q = nn.Linear(c, c)
+        self.to_k = nn.Linear(c, c)
+        self.to_v = nn.Linear(c, c)
+        self.to_out = nn.ModuleList([nn.Linear(c, c)])
+
+    def forward(self, x):
+        n, c, h, w = x.shape
+        t = self.group_norm(x).view(n, c, h * w).transpose(1, 2)
+        q, k, v = self.to_q(t), self.to_k(t), self.to_v(t)
+        o = F.scaled_dot_product_attention(
+            q.unsqueeze(1), k.unsqueeze(1), v.unsqueeze(1)
+        ).squeeze(1)
+        o = self.to_out[0](o)
+        return o.transpose(1, 2).view(n, c, h, w) + x
+
+
+class VAEEncoderOracle(nn.Module):
+    def __init__(self, channels=(32, 32, 64, 64), latent=4):
+        super().__init__()
+        self.conv_in = nn.Conv2d(3, channels[0], 3, padding=1)
+        blocks = []
+        cin = channels[0]
+        for i, c in enumerate(channels):
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList([VAEResnet(cin if j == 0 else c, c) for j in range(2)])
+            if i < len(channels) - 1:
+                ds = nn.Module()
+                ds.conv = nn.Conv2d(c, c, 3, stride=2, padding=0)
+                blk.downsamplers = nn.ModuleList([ds])
+            blocks.append(blk)
+            cin = c
+        self.down_blocks = nn.ModuleList(blocks)
+        mid = nn.Module()
+        mid.resnets = nn.ModuleList([VAEResnet(channels[-1], channels[-1]) for _ in range(2)])
+        mid.attentions = nn.ModuleList([VAEAttn(channels[-1])])
+        self.mid_block = mid
+        self.conv_norm_out = nn.GroupNorm(32, channels[-1], eps=1e-6)
+        self.conv_out = nn.Conv2d(channels[-1], 2 * latent, 3, padding=1)
+
+    def forward(self, x):
+        h = self.conv_in(x)
+        for blk in self.down_blocks:
+            for r in blk.resnets:
+                h = r(h)
+            if hasattr(blk, "downsamplers"):
+                h = blk.downsamplers[0].conv(F.pad(h, (0, 1, 0, 1)))
+        h = self.mid_block.resnets[0](h)
+        h = self.mid_block.attentions[0](h)
+        h = self.mid_block.resnets[1](h)
+        return self.conv_out(F.silu(self.conv_norm_out(h)))
+
+
+class VAEDecoderOracle(nn.Module):
+    def __init__(self, channels=(32, 32, 64, 64), latent=4):
+        super().__init__()
+        ctop = channels[-1]
+        self.conv_in = nn.Conv2d(latent, ctop, 3, padding=1)
+        mid = nn.Module()
+        mid.resnets = nn.ModuleList(
+            [SpatioTemporalResBlock(ctop, ctop, None, eps=1e-6, temporal_eps=1e-5, switch=True)
+             for _ in range(2)]
+        )
+        mid.attentions = nn.ModuleList([VAEAttn(ctop)])
+        self.mid_block = mid
+        rev = list(reversed(channels))
+        ups = []
+        prev = ctop
+        for i, c in enumerate(rev):
+            blk = nn.Module()
+            blk.resnets = nn.ModuleList(
+                [SpatioTemporalResBlock(prev if j == 0 else c, c, None, eps=1e-6,
+                                        temporal_eps=1e-5, switch=True) for j in range(3)]
+            )
+            if i < len(rev) - 1:
+                us = nn.Module()
+                us.conv = nn.Conv2d(c, c, 3, padding=1)
+                blk.upsamplers = nn.ModuleList([us])
+            ups.append(blk)
+            prev = c
+        self.up_blocks = nn.ModuleList(ups)
+        self.conv_norm_out = nn.GroupNorm(32, channels[0], eps=1e-6)
+        self.conv_out = nn.Conv2d(channels[0], 3, 3, padding=1)
+        self.time_conv_out = nn.Conv3d(3, 3, (3, 1, 1), padding=(1, 0, 0))
+
+    def forward(self, z, num_frames):
+        h = self.conv_in(z)
+        h = self.mid_block.resnets[0](h, None, num_frames)
+        h = self.mid_block.attentions[0](h)
+        h = self.mid_block.resnets[1](h, None, num_frames)
+        for blk in self.up_blocks:
+            for r in blk.resnets:
+                h = r(h, None, num_frames)
+            if hasattr(blk, "upsamplers"):
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                h = blk.upsamplers[0].conv(h)
+        h = self.conv_out(F.silu(self.conv_norm_out(h)))
+        bf, c, hh, ww = h.shape
+        b = bf // num_frames
+        h5 = h.reshape(b, num_frames, c, hh, ww).permute(0, 2, 1, 3, 4)
+        h5 = self.time_conv_out(h5)
+        return h5.permute(0, 2, 1, 3, 4).reshape(bf, c, hh, ww)
+
+
+class VAEOracle(nn.Module):
+    def __init__(self, channels=(32, 32, 64, 64), latent=4):
+        super().__init__()
+        self.encoder = VAEEncoderOracle(channels, latent)
+        self.decoder = VAEDecoderOracle(channels, latent)
+        self.quant_conv = nn.Conv2d(2 * latent, 2 * latent, 1)
+
+    def encode_mode(self, x):
+        moments = self.quant_conv(self.encoder(x))
+        return moments.chunk(2, dim=1)[0]

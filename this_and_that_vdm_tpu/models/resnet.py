@@ -186,7 +186,8 @@ class Downsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return Conv2d(self.out_channels, 3, stride=2, dtype=self.dtype, name="op")(x)
+        # diffusers-format checkpoints store this as downsamplers.N.conv.*
+        return Conv2d(self.out_channels, 3, stride=2, dtype=self.dtype, name="conv")(x)
 
 
 class Upsample2D(nn.Module):

@@ -115,6 +115,48 @@ def torch_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
     return {"params": params}
 
 
+def clip_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
+    """Convert a transformers CLIP state dict (text or vision-with-projection)
+    to the flax params of models/clip.py.
+
+    Differences from the diffusers mapping: ``text_model.``/``vision_model.``
+    and ``embeddings.`` scopes are flattened away, token/position embedding
+    matrices keep their orientation (leaf ``embedding``), ``mlp.fc1`` ->
+    ``mlp_fc1``, and the bare ``class_embedding`` parameter passes through.
+    """
+    params: Dict = {}
+    for key, value in state.items():
+        if key.endswith("position_ids"):
+            continue
+        arr = np.asarray(value)
+        k = key
+        for prefix in ("text_model.", "vision_model."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        k = k.replace("embeddings.", "").replace("mlp.fc", "mlp_fc")
+        parts = k.split(".")
+        leaf = parts[-1]
+        path = []
+        for p in parts[:-1]:
+            if _is_int(p) and path:
+                path[-1] = f"{path[-1]}_{p}"
+            else:
+                path.append(p)
+        if leaf == "weight" and (
+            path and path[-1] in ("token_embedding", "position_embedding")
+        ):
+            leaf_name, conv = "embedding", arr
+        elif leaf == "class_embedding":
+            leaf_name, conv = "class_embedding", arr
+        else:
+            leaf_name, conv = convert_tensor(leaf, arr)
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf_name] = conv
+    return {"params": params}
+
+
 def controlnet_params_from_unet(unet_params: Dict, controlnet_params: Dict) -> Dict:
     """Seed a fresh ControlNet's params from a trained UNet (reference:
     svd/temporal_controlnet.py:311-339 ``from_unet``): copy time_embedding
