@@ -1,0 +1,139 @@
+"""Benchmark: sec per 14-frame 256x384 VGL clip at 25 denoise steps.
+
+Runs the full VGL generation path (CLIP+VAE conditioning encode, 25-step
+jitted lax.scan with GestureNet + UNet at CFG batch 2, chunked temporal-VAE
+decode) with the real model configuration (random weights — numerics are
+weight-independent for timing) in bfloat16 on the default device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` = (north-star 10 s on v5e-8, from BASELINE.json) / measured —
+>1.0 means faster than the target. The reference repo publishes no numbers
+(BASELINE.md), so the driver's north-star is the comparison point.
+
+Env knobs: BENCH_STEPS (default 25), BENCH_MODE=vgl|vl|unet (default vgl),
+BENCH_DTYPE=bf16|f32.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+
+def _zeros_like_tree(tree, dtype=jnp.bfloat16):
+    """Zero params; float leaves stored in bf16 (inference precision — the
+    reference serves fp16; full-precision trees don't fit one chip's HBM
+    alongside activations)."""
+    def mk(s):
+        dt = dtype if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype
+        return jnp.zeros(s.shape, dt)
+
+    return jax.tree.map(mk, tree)
+
+
+def main():
+    from this_and_that_vdm_tpu.models.unet import (
+        UNetSpatioTemporalConditionModel, UNetConfig,
+    )
+    from this_and_that_vdm_tpu.models.controlnet import ControlNetModel, ControlNetConfig
+    from this_and_that_vdm_tpu.models.vae import AutoencoderKLTemporalDecoder, VAEConfig
+    from this_and_that_vdm_tpu.models.clip import (
+        CLIPTextModel, CLIPTextConfig, CLIPVisionModelWithProjection, CLIPVisionConfig,
+    )
+    from this_and_that_vdm_tpu.pipelines import StableVideoDiffusionControlNetPipeline
+    from this_and_that_vdm_tpu.pipelines.svd import StableVideoDiffusionPipeline
+
+    steps = int(os.environ.get("BENCH_STEPS", 25))
+    mode = os.environ.get("BENCH_MODE", "vgl")
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+
+    H, W, F = 256, 384, 14
+    key = jr.PRNGKey(0)
+
+    unet = UNetSpatioTemporalConditionModel(UNetConfig(), dtype=dtype)
+    uparams = _zeros_like_tree(jax.eval_shape(
+        lambda: unet.init(key, jnp.zeros((2, F, H // 8, W // 8, 8), dtype),
+                          jnp.float32(1.6), jnp.zeros((2, 78, 1024), dtype),
+                          jnp.zeros((2, 3)))))
+
+    if mode == "unet":
+        # raw denoiser throughput: steps/sec/chip at CFG batch 2
+        fn = jax.jit(lambda p, x, t, s, a: unet.apply(p, x, t, s, a))
+        x = jnp.zeros((2, F, H // 8, W // 8, 8), dtype)
+        s = jnp.zeros((2, 78, 1024), dtype)
+        a = jnp.asarray([[6.0, 200.0, 0.1]] * 2)
+        fn(uparams, x, jnp.float32(1.6), s, a).block_until_ready()
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(uparams, x, jnp.float32(1.6), s, a)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / n
+        print(json.dumps({
+            "metric": "UNet denoise steps/sec/chip (CFG batch 2, 14f 256x384, bf16)",
+            "value": round(1.0 / dt, 3), "unit": "steps/s",
+            "vs_baseline": round((10.0 / steps) / dt, 3),
+        }))
+        return
+
+    vae = AutoencoderKLTemporalDecoder(VAEConfig(), dtype=dtype)
+    vparams = _zeros_like_tree(jax.eval_shape(
+        lambda: vae.init(key, jnp.zeros((1, H, W, 3), dtype),
+                         jnp.zeros((1, 1, H // 8, W // 8, 4), dtype))))
+    vis = CLIPVisionModelWithProjection(CLIPVisionConfig(), dtype=dtype)
+    visparams = _zeros_like_tree(jax.eval_shape(
+        lambda: vis.init(key, jnp.zeros((1, 224, 224, 3), dtype))))
+    txt = CLIPTextModel(CLIPTextConfig(), dtype=dtype)
+    txtparams = _zeros_like_tree(jax.eval_shape(
+        lambda: txt.init(key, jnp.zeros((1, 77), jnp.int32))))
+
+    kwargs = dict(
+        unet=unet, vae=vae, image_encoder=vis, text_encoder=txt,
+        unet_params=uparams, vae_params=vparams,
+        image_encoder_params=visparams, text_encoder_params=txtparams,
+    )
+    image = jnp.zeros((1, H, W, 3), jnp.float32)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    call_kwargs = dict(
+        prompt_ids=ids, num_frames=F, num_inference_steps=steps,
+        motion_bucket_id=200, noise_aug_strength=0.1, decode_chunk_size=8,
+        key=jr.PRNGKey(1),
+    )
+
+    if mode == "vl":
+        pipe = StableVideoDiffusionPipeline(**kwargs)
+        run = lambda: pipe(image, **call_kwargs)
+    else:
+        cn = ControlNetModel(ControlNetConfig(), dtype=dtype)
+        cnparams = _zeros_like_tree(jax.eval_shape(
+            lambda: cn.init(key, jnp.zeros((2, F, H // 8, W // 8, 8), dtype),
+                            jnp.float32(1.6), jnp.zeros((2, 78, 1024), dtype),
+                            jnp.zeros((2, 3)),
+                            jnp.zeros((2, F, H // 8, W // 8, 4), dtype))))
+        pipe = StableVideoDiffusionControlNetPipeline(
+            controlnet=cn, controlnet_params=cnparams, **kwargs
+        )
+        cond = jnp.ones((F, H, W, 3), jnp.float32)
+        run = lambda: pipe(image, cond, **call_kwargs)
+
+    run()  # compile + warm
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = run()
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": f"sec per 14-frame 256x384 {mode.upper()} clip @{steps} steps (1 chip, bf16)",
+        "value": round(dt, 3), "unit": "s/clip",
+        "vs_baseline": round(10.0 / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

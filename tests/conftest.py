@@ -21,3 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the parity suite compiles multi-minute CPU
+# programs; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/ttv_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

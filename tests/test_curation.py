@@ -1,0 +1,124 @@
+"""Curation pipeline: auto-labeler with a fake detector, flatteners,
+flow trajectories with the built-in Farneback backend."""
+
+import os
+import pickle
+
+import numpy as np
+import cv2
+import pytest
+
+from this_and_that_vdm_tpu.curation import select_frames, prepare_bridge, trajectory
+
+
+class FakeDetector:
+    """xywh boxes per image index, keyed by file content marker pixel."""
+
+    def __init__(self, mapping):
+        self.mapping = mapping  # marker value -> boxes
+
+    def boxes_xywh(self, image_bgr):
+        marker = int(round(float(image_bgr[:8, :8, 0].mean()) / 5.0))
+        return np.asarray(self.mapping.get(marker, []), np.float32)
+
+
+def _make_traj(tmp_path, n_frames=30, marker_boxes=None):
+    d = tmp_path / "traj"
+    os.makedirs(d)
+    for i in range(n_frames):
+        img = np.full((120, 160, 3), i * 5, np.uint8)  # uniform marker, JPEG-safe
+        cv2.imwrite(str(d / f"im_{i}.jpg"), img, [cv2.IMWRITE_JPEG_QUALITY, 100])
+    # actions: open (1.0) until 5, closed (0.0) 5..20, open from 20
+    policy = []
+    for i in range(n_frames):
+        a = 0.0 if 5 <= i < 20 else 1.0
+        policy.append({"actions": np.array([0, 0, 0, 0, 0, 0, a])})
+    with open(d / "policy_out.pkl", "wb") as f:
+        pickle.dump(policy, f)
+    (d / "lang.txt").write_text("pick up the fork\n")
+    return str(d)
+
+
+def test_parse_action_range(tmp_path):
+    d = _make_traj(tmp_path)
+    rng = select_frames.parse_action_range(os.path.join(d, "policy_out.pkl"))
+    assert rng == (5, 20)
+
+
+def test_process_instance_with_fake_detector(tmp_path):
+    d = _make_traj(tmp_path)
+    # frames 5..7 (voting) and 20 (end) get detections; distances differ so
+    # voting picks the closest pair (frame 6, distance 20)
+    det = FakeDetector({
+        5: [[50, 50, 20, 20], [90, 50, 20, 20]],   # dist 40
+        6: [[50, 50, 20, 20], [70, 50, 20, 20]],   # dist 20  <- winner
+        7: [[50, 50, 20, 20], [95, 50, 20, 20]],   # dist 45
+        20: [[120, 90, 20, 20]],
+    })
+    store = str(tmp_path / "out")
+    ok, msg = select_frames.process_instance(d, store, det)
+    assert ok, msg
+    assert sorted(f for f in os.listdir(store) if f.startswith("im_")) \
+        == [f"im_{i}.jpg" for i in sorted(range(14), key=str)]
+    lines = open(os.path.join(store, "data.txt")).read().strip().splitlines()
+    assert len(lines) == 2  # two points (far apart, no merge)
+    i0, x0, y0 = lines[0].split()
+    assert float(x0) == 60.0 and float(y0) == 50.0  # midpoint of winning pair
+    assert open(os.path.join(store, "lang.txt")).read().startswith("pick up")
+
+
+def test_process_instance_merges_close_points(tmp_path):
+    d = _make_traj(tmp_path)
+    det = FakeDetector({
+        5: [[50, 50, 20, 20]],
+        20: [[60, 55, 20, 20]],  # within 30px of first -> merged
+    })
+    ok, msg = select_frames.process_instance(d, str(tmp_path / "o2"), det)
+    assert ok
+    lines = open(tmp_path / "o2" / "data.txt").read().strip().splitlines()
+    assert len(lines) == 1
+
+
+def test_flatten_bridge_v2(tmp_path):
+    raw = tmp_path / "raw"
+    traj = raw / "scene" / "task" / "order" / "clock" / "raw" / "traj_group0" / "traj0"
+    imgs = traj / "images0"
+    os.makedirs(imgs)
+    for i in range(3):
+        cv2.imwrite(str(imgs / f"im_{i}.jpg"), np.zeros((8, 8, 3), np.uint8))
+    (traj / "policy_out.pkl").write_bytes(pickle.dumps([]))
+    (traj / "lang.txt").write_text("x\n")
+    # lmdb dir must be skipped
+    os.makedirs(raw / "scene" / "task" / "order" / "lmdb")
+    n = prepare_bridge.flatten_bridge(str(raw), str(tmp_path / "flat"), version=2)
+    assert n == 1
+    out = tmp_path / "flat" / "0"
+    assert {"im_0.jpg", "im_1.jpg", "im_2.jpg", "policy_out.pkl", "lang.txt"} <= set(os.listdir(out))
+
+
+def test_trajectory_on_synthetic_motion():
+    # a bright square moving right by 4px/frame on a dark background
+    frames = []
+    for t in range(6):
+        img = np.zeros((64, 96, 3), np.uint8)
+        img[28:36, 20 + 4 * t : 28 + 4 * t] = 255
+        frames.append(img)
+    frames = np.stack(frames)
+    flows = trajectory.compute_flows(frames)
+    start = trajectory.pick_start_point(flows[0])
+    assert start is not None
+    traj = trajectory.chain_trajectory(flows, start)
+    assert len(traj) == 6
+    # net horizontal displacement ~ 4px/frame rightwards
+    dx = traj[-1][1] - traj[0][1]
+    assert dx > 10, traj
+    motion = trajectory.per_video_motion(frames)
+    assert motion > 0
+
+
+def test_filter_uv_thresholding():
+    flow = np.zeros((4, 4, 2), np.float32)
+    flow[0, 0] = (10.0, 0.0)
+    flow[1, 1] = (1.0, 0.0)
+    out = trajectory.filter_uv(flow, 0.2)
+    assert out[0, 0, 0] == 10.0 and out[1, 1, 0] == 0.0

@@ -1,0 +1,99 @@
+"""Data pipeline tests against the reference's fixture instances and a
+synthetic Bridge-layout directory."""
+
+import os
+import shutil
+
+import numpy as np
+import cv2
+import pytest
+
+from this_and_that_vdm_tpu.data import bridge, rasterize
+
+FIXTURES = "/root/reference/__assets__/Bridge_example"
+
+
+def test_subsample_indices_matches_reference_gap_algorithm():
+    # N=30, F=14: division=2, remain=1 -> gaps [3,2,...,2], last index 27
+    idx = bridge.subsample_indices(30, 14)
+    assert len(idx) == 14 and idx[0] == 0
+    assert idx == [0, 3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25, 27]
+    # N=56 (4x tolerance): division=4, remain=-1 -> uniform gaps of 4
+    idx = bridge.subsample_indices(56, 14)
+    assert idx == list(range(0, 53, 4))
+    # N=14: identity
+    assert bridge.subsample_indices(14, 14) == list(range(14))
+
+
+def test_bivariate_gaussian_normalised_and_centered():
+    k = rasterize.bivariate_gaussian(99, 10.0)
+    assert k.shape == (99, 99)
+    assert np.isclose(k.sum(), 1.0)
+    assert k[49, 49] == k.max()  # centered at index 49 for the reference grid
+
+
+@pytest.mark.parametrize("task", ["Task1_v1_511", "Task2_v2_164"])
+def test_rasterize_fixture_instances(task):
+    cond, motion, idxs, coords = rasterize.load_condition(
+        os.path.join(FIXTURES, task), (256, 384), 14
+    )
+    assert cond.shape == (14, 256, 384, 3)
+    assert motion == 200
+    assert 1 <= len(idxs) <= 2
+    # gesture frames: blurred white canvas ~1 away from the blob, with a
+    # clear colored dip at the point; non-gesture frames all-zero
+    for i in range(14):
+        if i in idxs:
+            assert cond[i].max() > 0.9
+            assert cond[i].min() < 0.9  # colored blob present
+        else:
+            assert cond[i].max() == 0.0
+
+
+def test_video_dataset_on_synthetic_instances(tmp_path):
+    root = tmp_path / "bridge"
+    for vid in range(3):
+        d = root / f"{vid:06d}"
+        os.makedirs(d)
+        n = 14 + vid * 7
+        for i in range(n):
+            img = np.full((48, 64, 3), (vid * 30 + i) % 255, np.uint8)
+            cv2.imwrite(str(d / f"im_{i}.jpg"), img)
+        (d / "lang.txt").write_text("put the spoon on the towel\n")
+        (d / "data.txt").write_text("0 20 12\n7 40 30\n")
+
+    cfg = bridge.DataConfig(
+        dataset_path=[str(root)], height=32, width=48, video_seq_length=14
+    )
+    tokenize = lambda s: np.full((16,), len(s) % 7, np.int32)
+    ds = bridge.VideoDataset(cfg, tokenize)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["video_frames"].shape == (14, 32, 48, 3)
+    assert item["video_frames"].min() >= -1.0 and item["video_frames"].max() <= 1.0
+    assert item["motion_bucket_id"] == 200
+
+    tt = bridge.VideoThisThatDataset(cfg, tokenize)
+    item = tt[1]
+    assert item["condition"].shape == (14, 32, 48, 3)
+    assert set(item["controlnet_image_index"].tolist()) == {0, 7}
+
+    loader = bridge.PrefetchLoader(tt, batch_size=2, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["video_frames"].shape == (2, 14, 32, 48, 3)
+    assert batches[0]["condition"].shape == (2, 14, 32, 48, 3)
+
+
+def test_flip_suppressed_for_directional_prompts(tmp_path):
+    d = tmp_path / "v" / "000000"
+    os.makedirs(d)
+    for i in range(14):
+        cv2.imwrite(str(d / f"im_{i}.jpg"), np.zeros((8, 8, 3), np.uint8))
+    (d / "lang.txt").write_text("move the cup to the left\n")
+    cfg = bridge.DataConfig(
+        dataset_path=[str(tmp_path / "v")], height=8, width=8, flip_aug_prob=1.0
+    )
+    ds = bridge.VideoDataset(cfg, lambda s: np.zeros((4,), np.int32))
+    assert ds._flip("move the cup to the left") is False
+    assert ds._flip("move the cup onto the towel") is True

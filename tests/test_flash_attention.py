@@ -1,0 +1,54 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from this_and_that_vdm_tpu.ops import attention
+from this_and_that_vdm_tpu.ops import flash_attention as fa
+
+
+def _ref(q, k, v, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def test_supports_gating():
+    q = jnp.zeros((2, 1536, 5, 64))
+    if jax.default_backend() == "tpu":
+        assert fa.supports(q, q, q)
+    else:
+        assert not fa.supports(q, q, q)  # CPU -> XLA path
+    assert not fa.supports(q, jnp.zeros((2, 78, 5, 64)), q)  # cross-attn
+    small = jnp.zeros((2, 14, 5, 64))
+    assert not fa.supports(small, small, small)  # unaligned tiny seq
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32])
+def test_kernel_matches_reference_interpret(dtype):
+    rng = np.random.RandomState(0)
+    b, s, h, d = 2, 512, 3, 64
+    q = jnp.asarray(rng.randn(b, s, h, d), dtype)
+    k = jnp.asarray(rng.randn(b, s, h, d), dtype)
+    v = jnp.asarray(rng.randn(b, s, h, d), dtype)
+    scale = d**-0.5
+
+    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fa.flash_attention(q, k, v, scale=scale)
+    expected = _ref(q, k, v, scale)
+    assert np.allclose(np.asarray(got), np.asarray(expected), atol=2e-5), \
+        np.abs(np.asarray(got) - np.asarray(expected)).max()
+
+
+def test_dot_product_attention_backend_switch():
+    # auto backend on CPU must route to XLA (pallas unsupported) and agree
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(1, 78, 2, 64), jnp.float32)
+    out = attention.dot_product_attention(q, q, q)
+    assert out.shape == q.shape
+    assert np.allclose(np.asarray(out), np.asarray(_ref(q, q, q, 64**-0.5)), atol=1e-5)

@@ -55,6 +55,7 @@ class ControlNetConfig:
         "CrossAttnDownBlockSpatioTemporal",
         "DownBlockSpatioTemporal",
     )
+    remat: bool = False
 
     @staticmethod
     def tiny():
@@ -108,11 +109,22 @@ class ControlNetModel(nn.Module):
             x.reshape(b * f, *x.shape[2:])
         ).reshape(b, f, *x.shape[2:4], ch0)
 
+        if cfg.remat:
+            _Down = nn.remat(DownBlockSpatioTemporal)
+            _CrossDown = nn.remat(CrossAttnDownBlockSpatioTemporal)
+            _Mid = nn.remat(UNetMidBlockSpatioTemporal)
+        else:
+            _Down, _CrossDown, _Mid = (
+                DownBlockSpatioTemporal,
+                CrossAttnDownBlockSpatioTemporal,
+                UNetMidBlockSpatioTemporal,
+            )
+
         down_res: Tuple[jnp.ndarray, ...] = (x,)
         for i, block_type in enumerate(cfg.down_block_types):
             is_final = i == len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                x, states = CrossAttnDownBlockSpatioTemporal(
+                x, states = _CrossDown(
                     cfg.block_out_channels[i],
                     heads=cfg.num_attention_heads[i],
                     num_layers=cfg.layers_per_block,
@@ -123,7 +135,7 @@ class ControlNetModel(nn.Module):
                     name=f"down_blocks_{i}",
                 )(x, temb, context, image_only_indicator)
             else:
-                x, states = DownBlockSpatioTemporal(
+                x, states = _Down(
                     cfg.block_out_channels[i],
                     num_layers=cfg.layers_per_block,
                     add_downsample=not is_final,
@@ -132,7 +144,7 @@ class ControlNetModel(nn.Module):
                 )(x, temb, image_only_indicator)
             down_res += states
 
-        x = UNetMidBlockSpatioTemporal(
+        x = _Mid(
             heads=cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block,
             cross_attention_dim=cfg.cross_attention_dim,

@@ -59,6 +59,7 @@ class UNetConfig:
     transformer_layers_per_block: int = 1
     num_attention_heads: Tuple[int, ...] = (5, 10, 10, 20)
     num_frames: int = 25
+    remat: bool = False  # per-block activation checkpointing (training)
 
     @staticmethod
     def tiny():
@@ -91,6 +92,22 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         ch0 = cfg.block_out_channels[0]
         time_embed_dim = ch0 * 4
 
+        # per-block remat mirrors the reference's torch.utils.checkpoint on
+        # every down/mid/up block (unet_3d_blocks.py:2142-2167 etc.)
+        if cfg.remat:
+            _Down = nn.remat(DownBlockSpatioTemporal)
+            _CrossDown = nn.remat(CrossAttnDownBlockSpatioTemporal)
+            _Mid = nn.remat(UNetMidBlockSpatioTemporal)
+            _Up = nn.remat(UpBlockSpatioTemporal)
+            _CrossUp = nn.remat(CrossAttnUpBlockSpatioTemporal, static_argnums=())
+        else:
+            _Down, _CrossDown = DownBlockSpatioTemporal, CrossAttnDownBlockSpatioTemporal
+            _Mid, _Up, _CrossUp = (
+                UNetMidBlockSpatioTemporal,
+                UpBlockSpatioTemporal,
+                CrossAttnUpBlockSpatioTemporal,
+            )
+
         timesteps = jnp.broadcast_to(jnp.asarray(timestep, jnp.float32).reshape(-1), (b,))
         t_emb = sinusoidal_embedding(timesteps, ch0).astype(self.dtype)
         emb = TimestepEmbedding(time_embed_dim, dtype=self.dtype, name="time_embedding")(t_emb)
@@ -116,7 +133,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         for i, block_type in enumerate(cfg.down_block_types):
             is_final = i == len(cfg.block_out_channels) - 1
             if block_type == "CrossAttnDownBlockSpatioTemporal":
-                x, states = CrossAttnDownBlockSpatioTemporal(
+                x, states = _CrossDown(
                     cfg.block_out_channels[i],
                     heads=cfg.num_attention_heads[i],
                     num_layers=cfg.layers_per_block,
@@ -127,7 +144,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     name=f"down_blocks_{i}",
                 )(x, temb, context, image_only_indicator)
             else:
-                x, states = DownBlockSpatioTemporal(
+                x, states = _Down(
                     cfg.block_out_channels[i],
                     num_layers=cfg.layers_per_block,
                     add_downsample=not is_final,
@@ -141,7 +158,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 r + add for r, add in zip(down_res, down_block_additional_residuals)
             )
 
-        x = UNetMidBlockSpatioTemporal(
+        x = _Mid(
             heads=cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block,
             cross_attention_dim=cfg.cross_attention_dim,
@@ -160,7 +177,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             res_states = down_res[-n_res:]
             down_res = down_res[:-n_res]
             if block_type == "CrossAttnUpBlockSpatioTemporal":
-                x = CrossAttnUpBlockSpatioTemporal(
+                x = _CrossUp(
                     rev_ch[i],
                     heads=rev_heads[i],
                     num_layers=n_res,
@@ -171,7 +188,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     name=f"up_blocks_{i}",
                 )(x, res_states, temb, context, image_only_indicator)
             else:
-                x = UpBlockSpatioTemporal(
+                x = _Up(
                     rev_ch[i],
                     num_layers=n_res,
                     add_upsample=not is_final,

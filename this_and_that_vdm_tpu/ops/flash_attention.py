@@ -1,0 +1,86 @@
+"""Pallas TPU attention kernel for the spatial self-attention hot path.
+
+The SVD denoiser's dominant attention shape is full self-attention over
+H*W <= 1536 spatial tokens at head_dim 64, batched over (CFG pair) x 14
+frames x heads (SURVEY.md §3.1 hot loop).  Sequences this short fit VMEM
+whole, so the kernel is a *non-streaming* flash attention: grid over
+(batch, heads, query-blocks), one fp32 [BQ, S] score tile per program,
+row-softmax in registers, no HBM score materialisation and no second pass.
+
+Falls back to the XLA einsum path (ops/attention.py) for shapes it doesn't
+cover (cross-attention, tiny temporal sequences) — those are bandwidth-bound
+anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_Q = 128  # covers the 1536- and 384-token spatial levels
+_SUPPORTED_HEAD_DIM = (64, 128)
+
+
+def supports(q, k, v) -> bool:
+    """Self-attention shapes with VMEM-resident K/V and aligned tiles (TPU only)."""
+    if jax.default_backend() != "tpu":
+        return False
+    b, s, h, d = q.shape
+    if k.shape != q.shape or v.shape != q.shape:
+        return False
+    if d not in _SUPPORTED_HEAD_DIM:
+        return False
+    if s % BLOCK_Q != 0 or s > 4096:
+        return False
+    if q.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    return True
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0, :, 0, :]  # [BQ, D]
+    k = k_ref[0, :, 0, :]  # [S, D]
+    v = v_ref[0, :, 0, :]  # [S, D]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores * scale
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    out = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def flash_attention(q, k, v, scale: float):
+    """q/k/v: [B, S, H, D] -> [B, S, H, D]."""
+    b, s, h, d = q.shape
+    grid = (b, h, s // BLOCK_Q)
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_Q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
+            pl.BlockSpec((1, s, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, s, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BLOCK_Q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * s * s * d,
+            bytes_accessed=q.size * q.dtype.itemsize * 4,
+            transcendentals=b * h * s * s,
+        ),
+    )(q, k, v)

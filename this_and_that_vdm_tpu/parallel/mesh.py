@@ -1,0 +1,74 @@
+"""Device mesh + sharding rules (the TPU-native replacement for the
+reference's accelerate/NCCL DDP — SURVEY.md §2.8).
+
+Axes:
+  * ``dp``   — pure data parallelism (batch). The reference's only strategy
+               (4-GPU DDP via accelerate); here it rides ICI collectives
+               emitted by XLA from sharding annotations.
+  * ``fsdp`` — parameter/optimizer sharding (ZeRO-3 style): every weight
+               tensor is split over its largest divisible axis; XLA inserts
+               all-gathers for use and reduce-scatters for grads. The batch
+               is sharded over (dp, fsdp) jointly, so fsdp devices also do
+               data-parallel compute.
+
+Single chip degenerates to a 1x1 mesh (everything replicated) with zero
+overhead.  Multi-slice later: add an outer DCN axis and keep fsdp inside the
+slice so gathers ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None, dp: Optional[int] = None, fsdp: int = 1
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if dp is None:
+        dp = n // fsdp
+    assert dp * fsdp == n, f"mesh {dp}x{fsdp} != {n} devices"
+    arr = np.asarray(devices).reshape(dp, fsdp)
+    return Mesh(arr, ("dp", "fsdp"))
+
+
+def _fsdp_spec(shape, fsdp_size: int) -> P:
+    """Shard the largest axis divisible by the fsdp axis size; replicate
+    small tensors (norm scales, biases) outright."""
+    if fsdp_size == 1 or not shape:
+        return P()
+    size = int(np.prod(shape))
+    if size < 2**16:  # small tensors: replication is cheaper than gathers
+        return P()
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in order:
+        if shape[i] % fsdp_size == 0:
+            spec = [None] * len(shape)
+            spec[i] = "fsdp"
+            return P(*spec)
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """NamedShardings for a param/optimizer pytree under the fsdp rule."""
+    fsdp_size = mesh.shape["fsdp"]
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, _fsdp_spec(np.shape(x), fsdp_size)), params
+    )
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Batch axis sharded over (dp, fsdp) jointly."""
+    return jax.tree.map(
+        lambda x: NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (np.ndim(x) - 1)))),
+        batch,
+    )
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(lambda x: NamedSharding(mesh, P()), tree)
