@@ -1,0 +1,106 @@
+"""Curation tools, tracking fallback, and video/eval utilities."""
+
+import os
+
+import numpy as np
+import cv2
+import pytest
+
+from this_and_that_vdm_tpu.curation import tools, tracking
+from this_and_that_vdm_tpu.utils import video_io
+
+
+def test_match_instance_exact_mse(tmp_path):
+    rng = np.random.RandomState(0)
+    imgs = [rng.randint(0, 255, (16, 16, 3), np.uint8) for _ in range(3)]
+    for name, mutate in [("flat", False), ("cand_good", False), ("cand_bad", True)]:
+        d = tmp_path / name
+        os.makedirs(d)
+        for i, im in enumerate(imgs):
+            im2 = im.copy()
+            if mutate:
+                im2[0, 0] = 255 - im2[0, 0]
+            cv2.imwrite(str(d / f"im_{i}.png"), im2)  # png = lossless
+            os.rename(d / f"im_{i}.png", d / f"im_{i}.jpg")  # extension contract
+    # note: files are PNG bytes with .jpg name; cv2 sniffs content — lossless
+    got = tools.match_instance(
+        str(tmp_path / "flat"),
+        [str(tmp_path / "cand_bad"), str(tmp_path / "cand_good")],
+        confirm_frames=3,
+    )
+    assert got and got.endswith("cand_good")
+
+
+def test_llama_ingest_and_collect(tmp_path):
+    d = tmp_path / "000001"
+    os.makedirs(d)
+    (d / "lang.txt").write_text("put the fork on the plate\n")
+    tools.ingest_llama_decomposition(str(d), "put", "the fork", "the plate")
+    lines = open(d / "processed_text.txt").read().splitlines()
+    assert lines == ["put", "the fork", "the plate"]
+    assert tools.collect_lang(str(tmp_path)) == {"000001": "put the fork on the plate"}
+
+
+def test_clean_dataset_and_length_stats(tmp_path):
+    for name, n, lang in [("a", 14, True), ("b", 5, True), ("c", 14, False)]:
+        d = tmp_path / name
+        os.makedirs(d)
+        for i in range(n):
+            cv2.imwrite(str(d / f"im_{i}.jpg"), np.zeros((4, 4, 3), np.uint8))
+        if lang:
+            (d / "lang.txt").write_text("x\n")
+    removed = tools.clean_dataset(str(tmp_path))
+    assert len(removed) == 2  # b (too short), c (no lang)
+    stats = tools.length_stats(str(tmp_path))
+    assert stats["count"] == 1 and stats["mean"] == 14
+
+
+def test_csrt_propagator_tracks_moving_square():
+    frames, mask = [], np.zeros((64, 96), bool)
+    mask[24:40, 16:32] = True
+    for t in range(5):
+        img = np.zeros((64, 96, 3), np.uint8)
+        img[24:40, 16 + 6 * t : 32 + 6 * t] = 255
+        frames.append(img)
+    masks = tracking.csrt_mask_propagator(frames, mask)
+    assert len(masks) == 5
+    # final mask's centroid moved right
+    ys0, xs0 = np.nonzero(masks[0])
+    ys4, xs4 = np.nonzero(masks[4])
+    assert len(xs4) > 0 and xs4.mean() > xs0.mean() + 10
+
+
+def test_psnr_ssim_and_grid(tmp_path):
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 255, (32, 32, 3), np.uint8)
+    assert video_io.psnr(a, a) == float("inf")
+    assert video_io.ssim(a.astype(float), a.astype(float)) > 0.999
+    noisy = np.clip(a.astype(int) + rng.randint(-5, 5, a.shape), 0, 255).astype(np.uint8)
+    p = video_io.psnr(a, noisy)
+    assert 30 < p < 50
+
+    # result-grid combination from two fake method dirs
+    for m in ["m1", "m2"]:
+        d = tmp_path / m
+        os.makedirs(d)
+        for i in range(3):
+            cv2.imwrite(str(d / f"{i}.png"), rng.randint(0, 255, (16, 24, 3), np.uint8))
+    out = video_io.combine_results_grid(
+        [str(tmp_path / "m1"), str(tmp_path / "m2")],
+        str(tmp_path / "grid.gif"), labels=["a", "b"],
+    )
+    assert os.path.exists(out)
+
+
+def test_train_test_split(tmp_path):
+    for i in range(10):
+        os.makedirs(tmp_path / f"{i:06d}")
+    train, test = video_io.train_test_split(str(tmp_path), 0.2)
+    assert len(train) == 8 and len(test) == 2
+    assert not set(train) & set(test)
+
+
+def test_interpolate_by_repeat():
+    frames = [np.full((2, 2, 3), i, np.uint8) for i in range(3)]
+    out = video_io.interpolate_by_repeat(frames, 2)
+    assert len(out) == 6 and (out[0] == out[1]).all()

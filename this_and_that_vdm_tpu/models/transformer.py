@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import (
@@ -63,11 +64,55 @@ class BasicTransformerBlock(nn.Module):
         return x + h
 
 
+class GroupedCrossAttention(nn.Module):
+    """Cross-attention where rows share only ``n_ctx`` distinct contexts.
+
+    The reference broadcasts the first frame's encoder states over all H*W
+    spatial positions hw-major and runs K/V projections on the materialised
+    ``[HW*B, 78, 1024]`` tensor (transformer_temporal.py:310-319) — row ``r``
+    of the folded batch consumes context ``r % B``.  This module computes the
+    SAME math with K/V projected once per distinct context (factor H*W fewer
+    projection FLOPs and no giant intermediate), grouping query rows by
+    ``r % n_ctx``.  Param layout matches diffusers ``Attention`` exactly.
+    """
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_rows: jnp.ndarray, ctx: jnp.ndarray) -> jnp.ndarray:
+        # x_rows: [R, F, C] (row r attends ctx[r % n]);  ctx: [n, S_kv, D]
+        r, f, c = x_rows.shape
+        n = ctx.shape[0]
+        inner = self.heads * self.dim_head
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_rows)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        m = r // n
+        q = q.reshape(m, n, f, self.heads, self.dim_head).transpose(1, 0, 2, 3, 4)
+        k = k.reshape(n, -1, self.heads, self.dim_head)
+        v = v.reshape(n, -1, self.heads, self.dim_head)
+
+        logits = jnp.einsum(
+            "cmfhd,ckhd->cmhfk", q, k, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * (self.dim_head**-0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("cmhfk,ckhd->cmfhd", probs, v)
+        out = out.transpose(1, 0, 2, 3, 4).reshape(r, f, inner)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
 class TemporalBasicTransformerBlock(nn.Module):
     """Attention over the frame axis; spatial tokens folded into batch.
 
     Input ``[B*F, S, C]``; internally reordered to ``[B*S, F, C]``.
     ``time_mix_inner_dim == dim`` in SVD so the input FF is residual.
+    Cross-attention context comes compact as ``[B, S_kv, D]`` (first-frame
+    states); row->context mapping replicates the reference's hw-major
+    broadcast exactly (see GroupedCrossAttention).
     """
 
     heads: int
@@ -80,7 +125,7 @@ class TemporalBasicTransformerBlock(nn.Module):
         self,
         x: jnp.ndarray,
         num_frames: int,
-        context: Optional[jnp.ndarray] = None,
+        context: Optional[jnp.ndarray] = None,  # [B, S_kv, D] compact
     ) -> jnp.ndarray:
         bf, s, c = x.shape
         b = bf // num_frames
@@ -94,12 +139,8 @@ class TemporalBasicTransformerBlock(nn.Module):
             LayerNorm(name="norm1")(h)
         )
         if self.cross_attention_dim is not None:
-            h = h + Attention(
-                self.heads,
-                self.dim_head,
-                cross_attention_dim=self.cross_attention_dim,
-                dtype=self.dtype,
-                name="attn2",
+            h = h + GroupedCrossAttention(
+                self.heads, self.dim_head, dtype=self.dtype, name="attn2"
             )(LayerNorm(name="norm2")(h), context)
         h = h + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(h))
 
@@ -124,12 +165,11 @@ class TransformerSpatioTemporalModel(nn.Module):
         inner = self.heads * self.dim_head
         hw = hh * ww
 
-        # Temporal cross-attn context: first frame's states per batch element,
-        # broadcast hw-major (reference transformer_temporal.py:310-319).
-        ctx_first = context.reshape(b, f, *context.shape[1:])[:, 0]  # [B, S, D]
-        time_context = jnp.broadcast_to(
-            ctx_first[None], (hw,) + ctx_first.shape
-        ).reshape(hw * b, *ctx_first.shape[1:])
+        # Temporal cross-attn context: first frame's states per batch element.
+        # Kept compact [B, S, D]; the hw-major broadcast of the reference
+        # (transformer_temporal.py:310-319) is realised as the row->context
+        # mapping inside GroupedCrossAttention (row r -> ctx[r % B]).
+        time_context = context.reshape(b, f, *context.shape[1:])[:, 0]
 
         flat = x.reshape(b * f, hh, ww, c)
         residual = flat

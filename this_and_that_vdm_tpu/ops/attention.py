@@ -49,11 +49,10 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
 
     if _BACKEND in ("auto", "pallas"):
-        try:
-            from .flash_attention import flash_attention, supports
+        from .flash_attention import flash_attention, supports
 
-            if _BACKEND == "pallas" or supports(q, k, v):
-                return flash_attention(q, k, v, scale=scale)
-        except ImportError:
-            pass
+        # "pallas" is a preference, not a guarantee: unsupported shapes
+        # (cross-attention, tiny/unaligned sequences, CPU) still take XLA.
+        if supports(q, k, v):
+            return flash_attention(q, k, v, scale=scale)
     return _xla_attention(q, k, v, scale)

@@ -42,9 +42,11 @@ def supports(q, k, v) -> bool:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0, :, 0, :]  # [BQ, D]
-    k = k_ref[0, :, 0, :]  # [S, D]
-    v = v_ref[0, :, 0, :]  # [S, D]
+    # blocks: q [1, BQ, D]; k/v [1, S, D] — last two dims (sublane, lane)
+    # tile-aligned (BQ % 8 == 0, D equals the full lane dimension).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -57,30 +59,36 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     out = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))
 def flash_attention(q, k, v, scale: float):
-    """q/k/v: [B, S, H, D] -> [B, S, H, D]."""
+    """q/k/v: [B, S, H, D] -> [B, S, H, D] (internally folded to [B*H, S, D])."""
     b, s, h, d = q.shape
-    grid = (b, h, s // BLOCK_Q)
-    return pl.pallas_call(
+
+    def fold(x):  # [B, S, H, D] -> [B*H, S, D]
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    grid = (b * h, s // BLOCK_Q)
+    out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
-            pl.BlockSpec((1, s, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0)),
-            pl.BlockSpec((1, s, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0)),
+            pl.BlockSpec((1, BLOCK_Q, d), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, s, d), lambda bi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, s, d), lambda bi, qi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0)),
+        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda bi, qi: (bi, qi, 0)),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * s * s * d,
             bytes_accessed=q.size * q.dtype.itemsize * 4,
             transcendentals=b * h * s * s,
         ),
-    )(q, k, v)
+    )(qf, kf, vf)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

@@ -64,6 +64,7 @@ def train_config_from_yaml(cfg: dict, mode: str) -> trainer.TrainConfig:
         max_grad_norm=1.0 if mode == "vgl" else None,
         partial_finetune=bool(cfg.get("partial_finetune", False)),
         use_text=bool(cfg.get("use_text", True)),
+        gradient_accumulation_steps=int(cfg.get("gradient_accumulation_steps", 1)),
     )
 
 
@@ -242,6 +243,42 @@ def main(argv: Optional[list] = None):
     logger = MetricLogger(os.path.join(output_dir, cfg.get("logging_name", "logging")))
     ckpt_every = int(cfg.get("checkpointing_steps", 3000))
     total_limit = int(cfg.get("checkpoints_total_limit", 15))
+    val_every = int(cfg.get("validation_step", 0) or 0)
+    val_folder = cfg.get("validation_img_folder")
+
+    def run_validation(step_now):
+        """log_validation equivalent: render val instances from live params."""
+        from ..pipelines import (
+            StableVideoDiffusionPipeline, StableVideoDiffusionControlNetPipeline,
+        )
+        from .validation import render_validation
+
+        common_kwargs = dict(
+            unet=unet, vae=modules["vae"], image_encoder=modules["image_encoder"],
+            text_encoder=modules["text_encoder"],
+            vae_params=frozen["vae"],
+            image_encoder_params=frozen["image_encoder"],
+            text_encoder_params=frozen["text_encoder"],
+        )
+        if args.mode == "vl":
+            pipe = StableVideoDiffusionPipeline(unet_params=state.params, **common_kwargs)
+        else:
+            pipe = StableVideoDiffusionControlNetPipeline(
+                unet_params=frozen["unet"], controlnet=controlnet,
+                controlnet_params=state.params, **common_kwargs,
+            )
+        tok = dataset.tokenize if hasattr(dataset, "tokenize") else (
+            lambda s: np.zeros((1, 77), np.int32))
+        tok2 = lambda s: np.asarray(tok(s)).reshape(1, -1)
+        out = render_validation(
+            step_now, os.path.join(output_dir, cfg.get("validation_store_folder",
+                                                       "validation_results")),
+            pipe, val_folder, tok2, mode=args.mode,
+            num_frames=dcfg.video_seq_length, height=dcfg.height, width=dcfg.width,
+            num_inference_steps=int(cfg.get("num_inference_steps", 25)),
+            motion_bucket_id=int(cfg.get("motion_bucket_id") or 200),
+        )
+        print(f"step {step_now}: rendered {len(out)} validation instances")
 
     step = start_step
     t0 = time.perf_counter()
@@ -261,6 +298,8 @@ def main(argv: Optional[list] = None):
                     path = ckpt.save_checkpoint(output_dir, step, state, total_limit)
                     print(f"step {step}: saved {path} "
                           f"({time.perf_counter() - t0:.1f}s elapsed)")
+                if val_every and val_folder and step % val_every == 0:
+                    run_validation(step)
     path = ckpt.save_checkpoint(output_dir, step, state, total_limit)
     logger.close()
     print(f"done at step {step}; final checkpoint {path}")

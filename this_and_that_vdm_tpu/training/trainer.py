@@ -47,6 +47,7 @@ class TrainConfig:
     max_grad_norm: Optional[float] = None  # 1.0 for VGL
     partial_finetune: bool = False
     use_text: bool = True
+    gradient_accumulation_steps: int = 1  # optax.MultiSteps microbatching
 
 
 def _is_partial_trainable(path) -> bool:
@@ -80,6 +81,9 @@ def make_optimizer(cfg: TrainConfig, params=None) -> optax.GradientTransformatio
                 p,
             )
         tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, label_fn)
+    if cfg.gradient_accumulation_steps > 1:
+        # the reference's accelerator.accumulate (train_svd.py:710)
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx
 
 
