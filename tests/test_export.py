@@ -1,0 +1,38 @@
+"""Round-trip: torch state dict -> flax -> torch must be bit-exact."""
+
+import numpy as np
+import torch
+import pytest
+
+from this_and_that_vdm_tpu.weights.convert import torch_state_dict_to_flax
+from this_and_that_vdm_tpu.weights.export import flax_to_torch_state_dict
+from torch_oracle import UNetOracle, ControlNetOracle, VAEOracle
+
+
+@pytest.mark.parametrize("mk", [UNetOracle, ControlNetOracle, VAEOracle])
+def test_roundtrip_bit_exact(mk):
+    torch.manual_seed(0)
+    model = mk()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    flax_params = torch_state_dict_to_flax(state)
+    back = flax_to_torch_state_dict(flax_params)
+    assert set(back) == set(state), (
+        sorted(set(state) - set(back))[:5], sorted(set(back) - set(state))[:5])
+    for k in state:
+        assert back[k].shape == state[k].shape, k
+        assert np.array_equal(back[k], state[k]), k
+
+
+def test_save_hf_layout(tmp_path):
+    import safetensors.numpy as stnp
+    torch.manual_seed(1)
+    model = UNetOracle()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    flax_params = torch_state_dict_to_flax(state)
+
+    from this_and_that_vdm_tpu.weights.export import save_hf_layout
+    path = save_hf_layout(flax_params, str(tmp_path), "unet")
+    loaded = stnp.load_file(path)
+    assert set(loaded) == set(state)
+    k = "down_blocks.0.resnets.0.spatial_res_block.conv1.weight"
+    assert np.array_equal(loaded[k], state[k])

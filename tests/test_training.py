@@ -125,3 +125,28 @@ def test_vl_train_step_on_8dev_mesh_dp_fsdp():
         jax.tree.map(lambda x: x.sharding, state2.params)
     )
     assert any("fsdp" in str(s.spec) for s in specs)
+
+
+def test_vgl_masked_conditioning_and_8bit_adam():
+    key = jr.PRNGKey(0)
+    unet = UNetSpatioTemporalConditionModel(UNetConfig.tiny())
+    cn = ControlNetModel(ControlNetConfig.tiny())
+    uparams = unet.init(key, jnp.zeros((B, F, H // 8, W // 8, 8)), jnp.array(0.0),
+                        jnp.zeros((B, 5, CTX)), jnp.zeros((B, 3)))
+    cparams = cn.init(key, jnp.zeros((B, F, H // 8, W // 8, 8)), jnp.array(0.0),
+                      jnp.zeros((B, 5, CTX)), jnp.zeros((B, 3)),
+                      jnp.zeros((B, F, H // 8, W // 8, 4)))
+    modules, frozen = _modules_and_frozen(jr.PRNGKey(1))
+    frozen = dict(frozen, unet=uparams)
+    cfg = trainer.TrainConfig(
+        learning_rate=5e-4, lr_warmup_steps=0, max_grad_norm=1.0,
+        mask_unet_vae=True, mask_controlnet_vae=True, mask_proportion=0.3,
+        use_8bit_adam=True,
+    )
+    tx = trainer.make_optimizer(cfg)
+    state = trainer.init_train_state(cparams, tx)
+    step = trainer.make_vgl_train_step(unet, cn, modules, tx, cfg)
+    rng = np.random.RandomState(2)
+    batch = dict(_batch(rng), condition=jnp.asarray(rng.rand(B, F, H, W, 3).astype(np.float32)))
+    state, metrics = step(state, frozen, batch, jr.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))

@@ -48,6 +48,11 @@ class TrainConfig:
     partial_finetune: bool = False
     use_text: bool = True
     gradient_accumulation_steps: int = 1  # optax.MultiSteps microbatching
+    # VGL sparse-conditioning experiments (train_csvd.py:834-886, off by default)
+    mask_unet_vae: bool = False
+    mask_controlnet_vae: bool = False
+    mask_proportion: float = 0.0
+    use_8bit_adam: bool = False  # block-quantised Adam state (bitsandbytes parity)
 
 
 def _is_partial_trainable(path) -> bool:
@@ -63,13 +68,21 @@ def make_optimizer(cfg: TrainConfig, params=None) -> optax.GradientTransformatio
         ],
         [cfg.lr_warmup_steps],
     )
-    tx = optax.adamw(
-        schedule,
-        b1=cfg.adam_beta1,
-        b2=cfg.adam_beta2,
-        eps=cfg.adam_epsilon,
-        weight_decay=cfg.adam_weight_decay,
-    )
+    if cfg.use_8bit_adam:
+        from .optimizers import adamw8bit
+
+        tx = adamw8bit(
+            schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay,
+        )
+    else:
+        tx = optax.adamw(
+            schedule,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        )
     if cfg.max_grad_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     if cfg.partial_finetune:
@@ -221,7 +234,25 @@ def make_vgl_train_step(
                 k_drop, states, cond_lat, cfg.conditioning_dropout_prob
             )
 
-        inp = jnp.concatenate([inp, cond_lat], axis=-1)
+        # sparse-conditioning VAE-latent masking (train_csvd.py:834-886):
+        # per-(frame, pixel) keep mask, channel-synchronised; when both flags
+        # are on the UNet reuses the ControlNet's masked latents (reference
+        # behaviour).
+        cn_cond_lat = unet_cond_lat = cond_lat
+        if cfg.mask_controlnet_vae or cfg.mask_unet_vae:
+            k_mask = jax.random.fold_in(key, 17)
+            keep = (
+                jax.random.uniform(k_mask, (b, f) + cond_lat.shape[2:4] + (1,))
+                < (1.0 - cfg.mask_proportion)
+            ).astype(cond_lat.dtype)
+            masked = cond_lat * keep
+            if cfg.mask_controlnet_vae:
+                cn_cond_lat = masked
+            if cfg.mask_unet_vae:
+                unet_cond_lat = masked
+
+        cn_inp = jnp.concatenate([inp, cn_cond_lat], axis=-1)
+        inp = jnp.concatenate([inp, unet_cond_lat], axis=-1)
 
         # gesture condition -> VAE latents (train_csvd.py:852-853; in [0,1])
         cond_img = batch["condition"].astype(jnp.float32)
@@ -240,7 +271,7 @@ def make_vgl_train_step(
         )
 
         res, mid = controlnet.apply(
-            cn_params, inp, timesteps, states, add_ids, gesture_lat
+            cn_params, cn_inp, timesteps, states, add_ids, gesture_lat
         )
         pred = unet.apply(
             frozen["unet"], inp, timesteps, states, add_ids,
