@@ -1,0 +1,39 @@
+"""Fused Pallas GroupNorm(+SiLU) vs the XLA reference path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from this_and_that_vdm_tpu.models.layers import _group_norm
+from this_and_that_vdm_tpu.ops import groupnorm_pallas as gnp
+
+
+@pytest.mark.parametrize("with_silu", [False, True])
+def test_kernel_matches_reference(with_silu):
+    rng = np.random.RandomState(0)
+    n, s, c, g = 3, 64, 256, 32
+    x = jnp.asarray(rng.randn(n, s, c), jnp.float32)
+    scale = jnp.asarray(rng.randn(c), jnp.float32)
+    bias = jnp.asarray(rng.randn(c), jnp.float32)
+
+    expected = _group_norm(x, scale, bias, g, 1e-5)
+    if with_silu:
+        expected = jax.nn.silu(expected)
+    with pltpu.force_tpu_interpret_mode():
+        got = gnp.group_norm_silu(x, scale, bias, g, 1e-5, with_silu)
+    assert np.allclose(np.asarray(got), np.asarray(expected), atol=2e-5), \
+        np.abs(np.asarray(got) - np.asarray(expected)).max()
+
+
+def test_supports_gating(monkeypatch):
+    f32 = jnp.float32
+    monkeypatch.setenv("TTV_FUSED_GROUPNORM", "1")  # opt-in kernel
+    if jax.default_backend() == "tpu":
+        assert gnp.supports(28, 1536, 320, 32, jnp.bfloat16)
+    assert not gnp.supports(28, 1536, 321, 32, f32)  # channels not /128... odd
+    assert not gnp.supports(1, 3, 256, 32, f32)  # rows not /8
+    assert not gnp.supports(1, 8192, 1280, 32, f32)  # tile too big
+    monkeypatch.setenv("TTV_FUSED_GROUPNORM", "0")
+    assert not gnp.supports(28, 1536, 320, 32, jnp.bfloat16)  # default off

@@ -14,6 +14,7 @@ Timesteps at :11).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Callable, Optional
 
@@ -108,16 +109,62 @@ def _group_norm(x: jnp.ndarray, scale, bias, num_groups: int, eps: float) -> jnp
     return out.astype(orig_dtype)
 
 
+def _group_norm_maybe_silu(x, scale, bias, num_groups, eps, with_silu):
+    out = _group_norm(x, scale, bias, num_groups, eps)
+    return jax.nn.silu(out) if with_silu else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_group_norm(x, scale, bias, num_groups, eps, with_silu):
+    from ..ops.groupnorm_pallas import group_norm_silu
+
+    return group_norm_silu(x, scale, bias, num_groups, eps, with_silu)
+
+
+def _fused_gn_fwd(x, scale, bias, num_groups, eps, with_silu):
+    return _fused_group_norm(x, scale, bias, num_groups, eps, with_silu), (x, scale, bias)
+
+
+def _fused_gn_bwd(num_groups, eps, with_silu, res, g):
+    # backward through the XLA reference implementation (identical math); the
+    # forward recompute it implies is what remat would do anyway.
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: _group_norm_maybe_silu(x_, s_, b_, num_groups, eps, with_silu),
+        x, scale, bias,
+    )
+    return vjp(g)
+
+
+_fused_group_norm.defvjp(_fused_gn_fwd, _fused_gn_bwd)
+
+
+def group_norm_op(x, scale, bias, num_groups, eps, with_silu=False):
+    """GroupNorm with optional fused SiLU; Pallas single-pass kernel on TPU
+    when the folded [N, S, C] tile qualifies, XLA reference otherwise."""
+    from ..ops import groupnorm_pallas as gnp
+
+    c = x.shape[-1]
+    n = x.shape[0]
+    s = x.size // (n * c)
+    if gnp.supports(n, s, c, num_groups, x.dtype):
+        folded = x.reshape(n, s, c)
+        out = _fused_group_norm(folded, scale, bias, num_groups, eps, with_silu)
+        return out.reshape(x.shape)
+    return _group_norm_maybe_silu(x, scale, bias, num_groups, eps, with_silu)
+
+
 class GroupNorm(nn.Module):
     num_groups: int = 32
     eps: float = 1e-5
+    with_silu: bool = False  # fuse the SiLU that always follows in resblocks
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return _group_norm(x, scale, bias, self.num_groups, self.eps)
+        return group_norm_op(x, scale, bias, self.num_groups, self.eps, self.with_silu)
 
 
 def layer_norm_fp32(x: jnp.ndarray, scale, bias, eps: float = 1e-5) -> jnp.ndarray:

@@ -89,16 +89,14 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         in_channels = x.shape[-1]
-        h = GroupNorm(32, self.eps, name="norm1")(x)
-        h = jax.nn.silu(h)
+        h = GroupNorm(32, self.eps, with_silu=True, name="norm1")(x)
         h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 jax.nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm(32, self.eps, name="norm2")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm(32, self.eps, with_silu=True, name="norm2")(h)
         h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = Conv2d(self.out_channels, 1, dtype=self.dtype, name="conv_shortcut")(x)
@@ -116,16 +114,14 @@ class TemporalResnetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         # x: [B, F, H, W, C]; GroupNorm stats span frames (rank-5 torch parity)
         in_channels = x.shape[-1]
-        h = GroupNorm(32, self.eps, name="norm1")(x)
-        h = jax.nn.silu(h)
+        h = GroupNorm(32, self.eps, with_silu=True, name="norm1")(x)
         h = TemporalConv3(self.out_channels, dtype=self.dtype, name="conv1")(h)
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 jax.nn.silu(temb)
             )  # [B, F, C]
             h = h + t[:, :, None, None, :]
-        h = GroupNorm(32, self.eps, name="norm2")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm(32, self.eps, with_silu=True, name="norm2")(h)
         h = TemporalConv3(self.out_channels, dtype=self.dtype, name="conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Dense(self.out_channels, dtype=self.dtype, name="conv_shortcut")(x)

@@ -197,7 +197,6 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                 )(x, res_states, temb, image_only_indicator)
 
         flat = x.reshape(b * f, *x.shape[2:])
-        flat = GroupNorm(32, 1e-5, name="conv_norm_out")(flat)
-        flat = jax.nn.silu(flat)
+        flat = GroupNorm(32, 1e-5, with_silu=True, name="conv_norm_out")(flat)
         flat = Conv2d(cfg.out_channels, 3, dtype=self.dtype, name="conv_out")(flat)
         return flat.reshape(b, f, *flat.shape[1:])

@@ -54,11 +54,9 @@ class ResnetBlock2DNoTemb(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cin = x.shape[-1]
-        h = GroupNorm(32, 1e-6, name="norm1")(x)
-        h = jax.nn.silu(h)
+        h = GroupNorm(32, 1e-6, with_silu=True, name="norm1")(x)
         h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv1")(h)
-        h = GroupNorm(32, 1e-6, name="norm2")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm(32, 1e-6, with_silu=True, name="norm2")(h)
         h = Conv2d(self.out_channels, 3, dtype=self.dtype, name="conv2")(h)
         if cin != self.out_channels:
             x = Conv2d(self.out_channels, 1, dtype=self.dtype, name="conv_shortcut")(x)
@@ -150,8 +148,7 @@ class Encoder(nn.Module):
                 name=f"down_blocks_{i}",
             )(h)
         h = EncoderMidBlock2D(dtype=self.dtype, name="mid_block")(h)
-        h = GroupNorm(32, 1e-6, name="conv_norm_out")(h)
-        h = jax.nn.silu(h)
+        h = GroupNorm(32, 1e-6, with_silu=True, name="conv_norm_out")(h)
         return Conv2d(2 * cfg.latent_channels, 3, dtype=self.dtype, name="conv_out")(h)
 
 
@@ -229,8 +226,7 @@ class TemporalDecoder(nn.Module):
             )(h)
 
         flat = h.reshape(b * f, *h.shape[2:])
-        flat = GroupNorm(32, 1e-6, name="conv_norm_out")(flat)
-        flat = jax.nn.silu(flat)
+        flat = GroupNorm(32, 1e-6, with_silu=True, name="conv_norm_out")(flat)
         flat = Conv2d(3, 3, dtype=self.dtype, name="conv_out")(flat)
         h = flat.reshape(b, f, *flat.shape[1:])
         return TemporalConv3(3, dtype=self.dtype, name="time_conv_out")(h)
