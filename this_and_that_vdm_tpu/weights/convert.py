@@ -157,6 +157,40 @@ def clip_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
     return {"params": params}
 
 
+def xmem_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
+    """Convert an XMem checkpoint (``XMem-s012.pth`` layout, reference
+    track_anything_code/tracker/model/network.py:134-198) to the flax params
+    of models/xmem.py.
+
+    Extra rules on top of the generic mapping: eval-mode BatchNorm buffers
+    ``running_mean``/``running_var`` -> ``mean``/``var`` (``num_batches_tracked``
+    dropped), CBAM's ``SpatialGate.spatial.conv`` collapses to
+    ``spatial_conv``, and a single-object ``value_encoder.conv1`` (4 input
+    channels) is zero-padded to the multi-object 5-channel layout
+    (network.py:184-198 ``init_as_zero_if_needed``)."""
+    params: Dict = {}
+    for key, value in state.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(value)
+        if key == "value_encoder.conv1.weight" and arr.shape[1] == 4:
+            arr = np.concatenate(
+                [arr, np.zeros((arr.shape[0], 1) + arr.shape[2:], arr.dtype)], 1)
+        k = key.replace("spatial.conv", "spatial_conv")
+        path, leaf = torch_key_to_flax_path(k)
+        if leaf == "running_mean":
+            leaf_name, conv = "mean", arr
+        elif leaf == "running_var":
+            leaf_name, conv = "var", arr
+        else:
+            leaf_name, conv = convert_tensor(leaf, arr)
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf_name] = conv
+    return {"params": params}
+
+
 def controlnet_params_from_unet(unet_params: Dict, controlnet_params: Dict) -> Dict:
     """Seed a fresh ControlNet's params from a trained UNet (reference:
     svd/temporal_controlnet.py:311-339 ``from_unet``): copy time_embedding
