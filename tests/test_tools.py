@@ -104,3 +104,75 @@ def test_interpolate_by_repeat():
     frames = [np.full((2, 2, 3), i, np.uint8) for i in range(3)]
     out = video_io.interpolate_by_repeat(frames, 2)
     assert len(out) == 6 and (out[0] == out[1]).all()
+
+
+def test_repeat_to_length_gap_distribution():
+    from this_and_that_vdm_tpu.utils.video_io import repeat_to_length
+
+    frames = [np.full((2, 2, 3), i, np.uint8) for i in range(5)]
+    out = repeat_to_length(frames, 14)
+    assert len(out) == 14
+    counts = [sum(int(f[0, 0, 0]) == i for f in out) for i in range(5)]
+    assert sum(counts) == 14 and min(counts) >= 14 // 5
+    # alternating front/back remainder: first and last get the extras first
+    assert counts[0] >= counts[2] and counts[-1] >= counts[2]
+    # order preserved
+    vals = [int(f[0, 0, 0]) for f in out]
+    assert vals == sorted(vals)
+
+
+def test_resize_truncate_noise_and_extract(tmp_path):
+    from this_and_that_vdm_tpu.curation.tools import (
+        extract_test_paths, generate_noise_images, resize_video_seq,
+        truncate_video_frames)
+
+    src = tmp_path / "src" / "vid0"
+    src.mkdir(parents=True)
+    for i in range(3):
+        cv2.imwrite(str(src / f"{i}.png"), np.zeros((10, 20, 3), np.uint8))
+    n = resize_video_seq(str(tmp_path / "src"), str(tmp_path / "dst"),
+                         target_hw=(5, 8))
+    assert n == 3
+    img = cv2.imread(str(tmp_path / "dst" / "vid0" / "0.png"))
+    assert img.shape == (5, 8, 3)
+
+    removed = truncate_video_frames(str(tmp_path / "src"), needed_frames=2)
+    assert removed == 1
+    assert not (src / "2.png").exists()
+
+    paths = generate_noise_images(str(tmp_path / "noise"), count=2, hw=(4, 4))
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+    match = tmp_path / "match.txt"
+    match.write_text("000001 /raw/bridge/a/b/c\n000002 /raw/bridge/d/e/f\n")
+    out = tmp_path / "test_paths.txt"
+    k = extract_test_paths(str(match), str(out), strip_prefix="/raw/bridge/")
+    assert k == 2
+    assert out.read_text().splitlines() == ["a/b/c", "d/e/f"]
+
+
+def test_painters_overlay():
+    from this_and_that_vdm_tpu.curation.painters import (
+        colormap, mask_painter, multi_mask_painter, point_painter,
+        sam_visualization)
+
+    img = np.full((32, 32, 3), 128, np.uint8)
+    mask = np.zeros((32, 32), bool)
+    mask[8:20, 8:20] = True
+    out = mask_painter(img, mask)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert not np.array_equal(out[10, 10], img[10, 10])  # painted
+    assert np.array_equal(out[2, 2], img[2, 2])          # untouched outside
+
+    pts = point_painter(img, [(5.0, 5.0)], point_radius=2)
+    assert not np.array_equal(pts[5, 5], img[5, 5])
+
+    idx_mask = np.zeros((32, 32), np.uint8)
+    idx_mask[:8, :8] = 1
+    idx_mask[20:, 20:] = 2
+    multi = multi_mask_painter(img, idx_mask)
+    assert not np.array_equal(multi[2, 2], multi[26, 26])  # distinct colors
+
+    sam = sam_visualization(img, mask, [(10.0, 10.0)])
+    assert sam.shape == img.shape
+    assert isinstance(colormap(3), tuple) and len(colormap(3)) == 3

@@ -112,6 +112,98 @@ def clean_dataset(instance_root: str, min_frames: int = 14,
     return removed
 
 
+def resize_video_seq(input_dir: str, store_dir: str,
+                     target_hw: Tuple[int, int] = (256, 384)) -> int:
+    """Resize every frame image of every video folder
+    (reference scripts/resize_video_seq.py, resize_img.py).  Returns the
+    number of images written."""
+    os.makedirs(store_dir, exist_ok=True)
+    n = 0
+    for video in sorted(os.listdir(input_dir)):
+        src = os.path.join(input_dir, video)
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(store_dir, video)
+        os.makedirs(dst, exist_ok=True)
+        for name in sorted(os.listdir(src)):
+            if not name.endswith((".jpg", ".png")):
+                continue
+            img = cv2.imread(os.path.join(src, name))
+            img = cv2.resize(img, (target_hw[1], target_hw[0]),
+                             interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(os.path.join(dst, name), img)
+            n += 1
+    return n
+
+
+def truncate_video_frames(folder: str, needed_frames: int = 14,
+                          ext: str = ".png") -> int:
+    """Delete frames with index >= needed_frames in every video subfolder
+    (reference scripts/crop_video_frames.py).  Returns frames removed."""
+    removed = 0
+    for video in sorted(os.listdir(folder)):
+        sub = os.path.join(folder, video)
+        if not os.path.isdir(sub):
+            continue
+        for idx in range(len(os.listdir(sub))):
+            if idx >= needed_frames:
+                p = os.path.join(sub, f"{idx}{ext}")
+                if os.path.exists(p):
+                    os.remove(p)
+                    removed += 1
+    return removed
+
+
+def extract_test_paths(match_info_txt: str, store_txt: str,
+                       strip_prefix: str = "") -> int:
+    """Second column of a match-info file -> relative test-instance paths
+    (reference scripts/extract_test_dataset.py)."""
+    n = 0
+    with open(match_info_txt) as rf, open(store_txt, "w") as wf:
+        for line in rf:
+            parts = line.split(" ")
+            if len(parts) < 2:
+                continue
+            p = parts[1]
+            if strip_prefix and p.startswith(strip_prefix):
+                p = p[len(strip_prefix):]
+            wf.write(p if p.endswith("\n") else p + "\n")
+            n += 1
+    return n
+
+
+def generate_noise_images(store_dir: str, count: int = 4,
+                          hw: Tuple[int, int] = (256, 256),
+                          seed: int = 0) -> List[str]:
+    """Uniform-noise control images for ablations
+    (reference scripts/generate_noise.py)."""
+    os.makedirs(store_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths = []
+    for idx in range(count):
+        noise = (rng.random((hw[0], hw[1], 3)) * 255).astype(np.uint8)
+        p = os.path.join(store_dir, f"noise{idx}.png")
+        cv2.imwrite(p, noise)
+        paths.append(p)
+    return paths
+
+
+def check_videos(video_dir: str, delete_abnormal: bool = False) -> List[str]:
+    """Find (optionally delete) unreadable video files
+    (reference scripts/check_video.py; cv2 replaces moviepy)."""
+    bad = []
+    for name in sorted(os.listdir(video_dir)):
+        path = os.path.join(video_dir, name)
+        cap = cv2.VideoCapture(path)
+        ok, _ = cap.read()
+        cap.release()
+        if not ok:
+            bad.append(path)
+            if delete_abnormal:
+                os.remove(path)
+    return bad
+
+
 def active_learning_select(failure_dir: str, dest_dir: str,
                            max_samples: int = 100) -> int:
     """Copy curation-failure frames for human relabeling."""

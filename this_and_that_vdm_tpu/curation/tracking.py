@@ -5,12 +5,12 @@ SURVEY §2.7) and curation_pipeline/tracking_by_keypoint.py: click-point ->
 SAM mask on the first frame -> video-object-segmentation propagation ->
 per-frame ``mask*.png``.
 
-The heavy models are offline curation tooling; they load lazily behind the
-``PointSegmenter`` protocol (detectors.py) and an injectable propagator.  A
-built-in cv2 CSRT-bbox propagator keeps the tool runnable without the XMem
-checkpoint; with ``xmem_checkpoint`` + the optional dependency present, the
-XMem memory tracker is used (every-5-frames memory insert, top-k readout —
-the reference's inference_core configuration).
+SAM loads lazily behind the ``PointSegmenter`` protocol (detectors.py); the
+propagator is injectable.  A dependency-free template-matching propagator
+keeps the tool runnable without any checkpoint; with an ``XMem-s012.pth``
+checkpoint, ``XMemPropagator`` runs the native flax XMem memory tracker
+(models/xmem.py — every-5-frames memory insert, top-k readout, long-term
+prototype consolidation: the reference's inference_core configuration).
 """
 
 from __future__ import annotations
@@ -52,30 +52,25 @@ csrt_mask_propagator = template_mask_propagator  # legacy alias
 
 
 class XMemPropagator:
-    """XMem VOS propagation (requires the optional xmem package + checkpoint)."""
+    """Full-quality VOS propagation with the native flax XMem
+    (models/xmem.py + curation/xmem_tracker.py).  Loads the published
+    ``XMem-s012.pth`` checkpoint through the torch->flax converter; torch is
+    only used to deserialize the .pth file."""
 
-    def __init__(self, checkpoint: str, device: str = "cpu"):
-        from xmem.inference import InferenceCore  # optional vendored dep
-        from xmem.model.network import XMem
-
+    def __init__(self, checkpoint: str):
         import torch
 
-        net = XMem({}, checkpoint).eval().to(device)
-        self.core = InferenceCore(net, config={"mem_every": 5, "top_k": 30})
-        self.device = device
+        from ..models.xmem import XMem  # noqa: F401 (re-export context)
+        from ..weights.convert import xmem_state_dict_to_flax
+        from .xmem_tracker import xmem_propagator
+
+        state = torch.load(checkpoint, map_location="cpu")
+        state = {k: v.numpy() for k, v in state.items()}
+        params = xmem_state_dict_to_flax(state)
+        self._propagate = xmem_propagator(params)
 
     def __call__(self, frames_rgb, first_mask):
-        import torch
-
-        masks = [first_mask.astype(bool)]
-        self.core.set_all_labels([1])
-        for i, fr in enumerate(frames_rgb):
-            t = torch.from_numpy(fr.transpose(2, 0, 1)).float().to(self.device) / 255
-            m = torch.from_numpy(first_mask.astype(np.uint8)).to(self.device) if i == 0 else None
-            prob = self.core.step(t, m, [1] if i == 0 else None)
-            if i > 0:
-                masks.append(prob.argmax(0).cpu().numpy() > 0)
-        return masks
+        return self._propagate(frames_rgb, first_mask)
 
 
 def track_by_keypoint(

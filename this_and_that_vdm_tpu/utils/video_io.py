@@ -75,6 +75,27 @@ def interpolate_by_repeat(frames: Sequence[np.ndarray], factor: int = 2):
     return out
 
 
+def repeat_to_length(frames: Sequence[np.ndarray], target: int):
+    """Repeat frames to exactly ``target`` outputs, distributing the
+    remainder alternately front/back (reference
+    scripts/interpolate_by_repeat.py:30-41 gap algorithm; the reference
+    drops one remainder slot — "-1 for adaptation" — and so emits target-1
+    frames, an off-by-one we do not reproduce)."""
+    n = len(frames)
+    assert 1 <= n <= target
+    gaps = [target // n] * n
+    remain = target % n
+    for idx in range(remain):
+        if idx % 2 == 0:
+            gaps[idx // 2] += 1
+        else:
+            gaps[-(1 + idx // 2)] += 1
+    out = []
+    for f, g in zip(frames, gaps):
+        out.extend([f] * g)
+    return out
+
+
 def train_test_split(instance_root: str, test_fraction: float = 0.1,
                      seed: int = 42):
     """Split flat instance folders into (train_paths, test_paths)."""
