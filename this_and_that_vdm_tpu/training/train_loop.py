@@ -140,7 +140,9 @@ def build_models(cfg: dict, mode: str, dtype=jnp.float32, tiny: bool = False):
 
 def _init_params(module, *shapes, key):
     args = [jnp.zeros(s[0], s[1]) if isinstance(s, tuple) else s for s in shapes]
-    return module.init(key, *args)
+    # jit the whole init: one XLA program (persistently cacheable) instead of
+    # thousands of eager op dispatches — matters a lot on few-core hosts.
+    return jax.jit(module.init)(key, *args)
 
 
 def main(argv: Optional[list] = None):
@@ -188,12 +190,12 @@ def main(argv: Optional[list] = None):
                 modules["text_encoder"],
                 ((1, modules["text_encoder"].config.max_positions), jnp.int32), key=k3),
         )
-        unet_params = unet.init(
+        unet_params = jax.jit(unet.init)(
             k4, jnp.zeros((1, F, H // 8, W // 8, 8)), jnp.array(0.0),
             jnp.zeros((1, seq, ctx_dim)), jnp.zeros((1, 3)))
         cn_params = None
         if controlnet is not None:
-            cn_params = controlnet.init(
+            cn_params = jax.jit(controlnet.init)(
                 k5, jnp.zeros((1, F, H // 8, W // 8, 8)), jnp.array(0.0),
                 jnp.zeros((1, seq, ctx_dim)), jnp.zeros((1, 3)),
                 jnp.zeros((1, F, H // 8, W // 8, 4)))
