@@ -293,3 +293,45 @@ def test_xmem_propagator_facade():
     assert len(masks) == 4
     assert all(mk.shape == (32, 32) and mk.dtype == bool for mk in masks)
     np.testing.assert_array_equal(masks[0], first)
+
+
+def test_tracking_anything_facade():
+    """BaseTracker + TrackingAnything (reference model.py / base_tracker.py)."""
+    import flax
+
+    from this_and_that_vdm_tpu.curation.tracking import TrackingAnything
+
+    m = XMem()
+    params = flax.core.unfreeze(
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+               method=m.encode_key))
+    params["params"].update(flax.core.unfreeze(
+        m.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+               jnp.zeros((1, 2, 2, 1024)), jnp.zeros((1, 1, 2, 2, 64)),
+               jnp.zeros((1, 1, 32, 32)), method=m.encode_value))["params"])
+    params["params"].update(flax.core.unfreeze(
+        m.init(jax.random.PRNGKey(2), jnp.zeros((1, 2, 2, 1024)),
+               jnp.zeros((1, 4, 4, 512)), jnp.zeros((1, 8, 8, 256)),
+               jnp.zeros((1, 1, 2, 2, 512)), jnp.zeros((1, 1, 2, 2, 64)),
+               method=m.segment))["params"])
+
+    class FakeSeg:
+        def predict_mask(self, image_bgr, points_xy, box_xyxy=None):
+            mk = np.zeros(image_bgr.shape[:2], bool)
+            mk[10:22, 10:22] = True
+            return mk
+
+    ta = TrackingAnything(FakeSeg(), params)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    mask, _, painted = ta.first_frame_click(img, np.array([[16, 16]]))
+    assert mask.shape == (32, 32) and painted.shape == img.shape
+
+    # indexed template mask with a non-contiguous label (7)
+    template = np.zeros((32, 32), np.uint8)
+    template[mask] = 7
+    frames = [img, rng.integers(0, 255, (32, 32, 3), np.uint8)]
+    masks, logits, painted_seq = ta.generator(frames, template)
+    assert len(masks) == 2 and masks[0].dtype == np.uint8
+    assert set(np.unique(masks[0])) <= {0, 7}  # remapped back to caller label
+    assert painted_seq[0].shape == img.shape

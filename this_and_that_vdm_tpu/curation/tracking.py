@@ -73,6 +73,83 @@ class XMemPropagator:
         return self._propagate(frames_rgb, first_mask)
 
 
+class BaseTracker:
+    """Per-frame XMem tracking over indexed masks
+    (reference track_anything_code/tracker/base_tracker.py:30-108): maps
+    arbitrary object labels to contiguous ids, steps the memory tracker,
+    argmaxes to an indexed mask, and paints the overlay."""
+
+    def __init__(self, params, config=None):
+        from ..models.xmem import XMem
+        from .xmem_tracker import DEFAULT_CONFIG, MaskMapper, XMemInferenceCore
+
+        self.core = XMemInferenceCore(XMem(), params, config or DEFAULT_CONFIG)
+        self.mapper = MaskMapper()
+
+    def clear_memory(self):
+        from .xmem_tracker import MaskMapper
+
+        self.core.clear_memory()
+        self.mapper = MaskMapper()
+
+    def track(self, frame_rgb: np.ndarray, first_frame_annotation=None):
+        """frame_rgb uint8 [H,W,3]; annotation: indexed mask [H,W] or None.
+        Returns (indexed_mask, indexed_mask, painted_image) — the reference
+        returns the mask twice in place of a logit map."""
+        from .painters import mask_painter
+
+        if first_frame_annotation is not None:
+            onehot, _labels = self.mapper.convert_mask(
+                np.asarray(first_frame_annotation))
+            self.core.set_all_labels(list(self.mapper.remappings.values()))
+            mask = onehot
+        else:
+            mask = None
+        prob = self.core.step(frame_rgb.astype(np.float32) / 255.0, mask)
+        out = np.argmax(prob, axis=0).astype(np.uint8)
+        final = np.zeros_like(out)
+        for k, v in self.mapper.remappings.items():
+            final[out == v] = k
+        painted = frame_rgb
+        for obj in range(1, int(final.max()) + 1):
+            if np.any(final == obj):
+                painted = mask_painter(painted, final == obj,
+                                       mask_color=obj + 1)
+        return final, final, painted
+
+
+class TrackingAnything:
+    """SAM + XMem facade (reference track_anything_code/model.py:14-45):
+    ``first_frame_click`` segments the clicked object, ``generator``
+    propagates a template mask over a clip."""
+
+    def __init__(self, segmenter: PointSegmenter, xmem_params, config=None):
+        self.segmenter = segmenter
+        self.tracker = BaseTracker(xmem_params, config)
+
+    def first_frame_click(self, image_rgb: np.ndarray, points_xy: np.ndarray,
+                          labels=None):
+        from .painters import mask_painter, point_painter
+
+        mask = self.segmenter.predict_mask(image_rgb[:, :, ::-1],
+                                           np.asarray(points_xy))
+        painted = mask_painter(image_rgb, mask)
+        painted = point_painter(painted, [tuple(p) for p in points_xy],
+                                point_radius=8)
+        return mask, mask, painted
+
+    def generator(self, images: Sequence[np.ndarray],
+                  template_mask: np.ndarray):
+        masks, logits, painted = [], [], []
+        for i, img in enumerate(images):
+            m, l, p = self.tracker.track(
+                img, template_mask if i == 0 else None)
+            masks.append(m)
+            logits.append(l)
+            painted.append(p)
+        return masks, logits, painted
+
+
 def track_by_keypoint(
     instance_dir: str,
     segmenter: PointSegmenter,

@@ -156,6 +156,8 @@ def main(argv: Optional[list] = None):
     p.add_argument("--pretrained", default=None,
                    help="dir with HF-layout subfolders (unet/, vae/, ...)")
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--devices", type=int, default=None,
+                   help="cap the mesh at the first N devices (smoke tests)")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -166,7 +168,8 @@ def main(argv: Optional[list] = None):
     seed = int(cfg.get("seed", 42))
     key = jr.PRNGKey(seed)
 
-    mesh = make_mesh(fsdp=args.fsdp)
+    devices = jax.devices()[: args.devices] if args.devices else None
+    mesh = make_mesh(devices=devices, fsdp=args.fsdp)
     batch_size = int(cfg.get("train_batch_size", 1)) * mesh.devices.size
     num_iters = args.max_steps or int(cfg.get("num_train_iters", 100_000))
 
