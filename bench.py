@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
+# Persist compiled executables across bench invocations (works for TPU too;
+# first run pays the ~15 min remote compile, subsequent runs start hot).
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/ttv_jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def _zeros_like_tree(tree, dtype=jnp.bfloat16):
     """Zero params; float leaves stored in bf16 (inference precision — the
@@ -103,8 +110,8 @@ def main():
     call_kwargs = dict(
         prompt_ids=ids, num_frames=F, num_inference_steps=steps,
         motion_bucket_id=200, noise_aug_strength=0.1, decode_chunk_size=8,
-        key=jr.PRNGKey(1),
-    )
+        key=jr.PRNGKey(1), output_type="uint8",  # device-side cast: 4x less
+    )                                            # device->host traffic
 
     if mode == "vl":
         pipe = StableVideoDiffusionPipeline(**kwargs)

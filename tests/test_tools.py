@@ -176,3 +176,14 @@ def test_painters_overlay():
     sam = sam_visualization(img, mask, [(10.0, 10.0)])
     assert sam.shape == img.shape
     assert isinstance(colormap(3), tuple) and len(colormap(3)) == 3
+
+
+def test_postprocess_frames_uint8_matches_host_path():
+    from this_and_that_vdm_tpu.pipelines import common as pcommon
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(-1.3, 1.3, (2, 3, 8, 8, 3)).astype(np.float32)
+    dev = np.asarray(pcommon.postprocess_frames_uint8(jnp.asarray(frames)))
+    host = pcommon.frames_to_uint8(pcommon.postprocess_frames(jnp.asarray(frames)))
+    np.testing.assert_array_equal(dev, host)

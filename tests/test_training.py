@@ -150,3 +150,51 @@ def test_vgl_masked_conditioning_and_8bit_adam():
     batch = dict(_batch(rng), condition=jnp.asarray(rng.rand(B, F, H, W, 3).astype(np.float32)))
     state, metrics = step(state, frozen, batch, jr.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_vl_pipeline_data_parallel_inference_on_mesh():
+    """place_on_mesh: batch-of-clips sharded over an 8-device mesh matches
+    the unsharded result (params replicated, GSPMD partitions the stages)."""
+    import jax.random as jr
+
+    from this_and_that_vdm_tpu.models.clip import (
+        CLIPTextConfig, CLIPTextModel, CLIPVisionConfig,
+        CLIPVisionModelWithProjection)
+    from this_and_that_vdm_tpu.models.unet import (
+        UNetConfig, UNetSpatioTemporalConditionModel)
+    from this_and_that_vdm_tpu.models.vae import (
+        AutoencoderKLTemporalDecoder, VAEConfig)
+    from this_and_that_vdm_tpu.parallel.mesh import make_mesh
+    from this_and_that_vdm_tpu.pipelines.svd import StableVideoDiffusionPipeline
+
+    ucfg = UNetConfig.tiny()
+    unet = UNetSpatioTemporalConditionModel(ucfg)
+    vae = AutoencoderKLTemporalDecoder(VAEConfig.tiny())
+    vis = CLIPVisionModelWithProjection(
+        CLIPVisionConfig(hidden_size=32, num_layers=1, num_heads=4,
+                         intermediate_size=64, patch_size=56, image_size=224,
+                         projection_dim=ucfg.cross_attention_dim))
+
+    H, W, F, B = 64, 128, 2, 8  # latent 8x16, divisible by the 3 downsamples
+    up = jax.jit(unet.init)(jr.PRNGKey(0), jnp.zeros((2, F, H // 8, W // 8, 8)),
+                            jnp.array(0.0),
+                            jnp.zeros((2, 1, ucfg.cross_attention_dim)),
+                            jnp.zeros((2, 3)))
+    vp = jax.jit(vae.init)(jr.PRNGKey(1), jnp.zeros((1, H, W, 3)),
+                           jnp.zeros((1, 1, H // 8, W // 8, 4)))
+    ip = jax.jit(vis.init)(jr.PRNGKey(2), jnp.zeros((1, 224, 224, 3)))
+
+    def build():
+        return StableVideoDiffusionPipeline(
+            unet=unet, vae=vae, image_encoder=vis,
+            unet_params=up, vae_params=vp, image_encoder_params=ip)
+
+    rng = np.random.default_rng(0)
+    image = rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)
+    kwargs = dict(num_frames=F, num_inference_steps=2, noise_aug_strength=0.0,
+                  key=jr.PRNGKey(7), output_type="np")
+
+    ref = build()(image, **kwargs)
+    sharded = build().place_on_mesh(make_mesh())(image, **kwargs)
+    assert sharded.shape == (B, F, H, W, 3)
+    np.testing.assert_allclose(sharded, ref, atol=2e-4)

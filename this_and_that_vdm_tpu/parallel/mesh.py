@@ -72,3 +72,17 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: NamedSharding(mesh, P()), tree)
+
+
+def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
+    """device_put every leaf fully replicated over the mesh (inference
+    serving: parameters live on every chip)."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_leading(tree: Any, mesh: Mesh) -> Any:
+    """device_put with the leading axis split over (dp, fsdp) — the
+    batch-of-clips axis for data-parallel inference."""
+    s = NamedSharding(mesh, P(("dp", "fsdp")))
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)

@@ -37,6 +37,35 @@ class StableVideoDiffusionPipeline:
     image_encoder_params: Any
     text_encoder: Optional[CLIPTextModel] = None
     text_encoder_params: Any = None
+    mesh: Any = None  # set via place_on_mesh for data-parallel serving
+
+    # ------------------------------------------------------------------ mesh
+
+    def place_on_mesh(self, mesh):
+        """Serve batches of clips data-parallel over a ``jax.sharding.Mesh``
+        (the TPU-native answer to "more GPUs" at inference, SURVEY §2.8):
+        parameters are replicated on every chip, per-call inputs are sharded
+        on the leading clip-batch axis, and GSPMD partitions every jitted
+        stage.  The clip batch must divide the mesh size."""
+        from ..parallel.mesh import replicate_to_mesh
+
+        self.unet_params = replicate_to_mesh(self.unet_params, mesh)
+        self.vae_params = replicate_to_mesh(self.vae_params, mesh)
+        self.image_encoder_params = replicate_to_mesh(self.image_encoder_params, mesh)
+        if self.text_encoder_params is not None:
+            self.text_encoder_params = replicate_to_mesh(self.text_encoder_params, mesh)
+        if getattr(self, "controlnet_params", None) is not None:
+            self.controlnet_params = replicate_to_mesh(self.controlnet_params, mesh)
+        self.mesh = mesh
+        return self
+
+    def _maybe_shard(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        from ..parallel.mesh import shard_leading
+
+        return tuple(None if a is None else shard_leading(a, self.mesh)
+                     for a in arrays)
 
     # ---------------------------------------------------------------- encode
 
@@ -137,6 +166,7 @@ class StableVideoDiffusionPipeline:
         image = jnp.asarray(image, jnp.float32)
         noise_img = noise_aug_strength * jax.random.normal(k_img, image.shape, image.dtype)
         ids = None if prompt_ids is None else jnp.asarray(prompt_ids)
+        image, noise_img, ids = self._maybe_shard(image, noise_img, ids)
         states_cfg, img_lat_cfg = self._encode_conditioning(self._cond_params(), image, ids, noise_img)
 
         add_ids = common.get_add_time_ids(
@@ -150,6 +180,7 @@ class StableVideoDiffusionPipeline:
             latents = jax.random.normal(
                 k_lat, (b, num_frames, h // 8, w // 8, 4), jnp.float32
             )
+        (latents,) = self._maybe_shard(latents)
         latents = self._denoise_fn(num_inference_steps, num_frames)(
             self.unet_params, latents, states_cfg, img_lat_cfg, add_ids, guidance
         )
@@ -157,7 +188,6 @@ class StableVideoDiffusionPipeline:
         if output_type == "latent":
             return np.asarray(latents)
         frames = self._decode_fn(decode_chunk_size)(self.vae_params, latents)
-        frames01 = common.postprocess_frames(frames)
         if output_type == "uint8":
-            return common.frames_to_uint8(frames01)
-        return frames01
+            return np.asarray(common.postprocess_frames_uint8(frames))
+        return common.postprocess_frames(frames)

@@ -188,9 +188,9 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         if output_type == "latent":
             return np.asarray(latents)
         frames = self._decode_fn(decode_chunk_size)(self.vae_params, latents)
-        frames01 = common.postprocess_frames(frames)
         if output_type == "uint8":
-            return common.frames_to_uint8(frames01)
+            return np.asarray(common.postprocess_frames_uint8(frames))
+        frames01 = common.postprocess_frames(frames)
         return frames01
 
     @functools.cached_property
