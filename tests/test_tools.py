@@ -187,3 +187,25 @@ def test_postprocess_frames_uint8_matches_host_path():
     dev = np.asarray(pcommon.postprocess_frames_uint8(jnp.asarray(frames)))
     host = pcommon.frames_to_uint8(pcommon.postprocess_frames(jnp.asarray(frames)))
     np.testing.assert_array_equal(dev, host)
+
+
+def test_process_sim_dataset(tmp_path):
+    sim = tmp_path / "sim"
+    # two scenes x 3 prompts/scene; scene 1 missing its base run -> skipped
+    for run in range(6):
+        d = sim / f"run_{run}"
+        if run == 3:
+            continue
+        os.makedirs(d)
+        (d / "lang.txt").write_text(f"prompt run{run}\nsecond line ignored\n")
+        if run % 3 == 0:  # base runs carry the frames
+            (d / "im_0.jpg").write_bytes(b"jpegbytes")
+            (d / "data.txt").write_text("0 1 2\n")
+    out = tmp_path / "flat"
+    n = tools.process_sim_dataset(str(sim), str(out), prompts_per_scene=3,
+                                  most_descriptive_prompt_idx=1)
+    assert n == 1  # scene 1's base run_3 is absent
+    lines = (out / "0" / "lang.txt").read_text().splitlines()
+    assert lines == ["prompt run1", "prompt run0", "prompt run2"]  # idx 1 first
+    assert (out / "0" / "im_0.jpg").read_bytes() == b"jpegbytes"
+    assert (out / "0" / "data.txt").exists()

@@ -11,6 +11,8 @@
   (length_stats.py, clean_bridge_dataset.py, check_video.py).
 * ``active_learning_select`` — copy curation-failure samples for relabeling
   (active_learning_select.py).
+* ``process_sim_dataset`` — flatten an IsaacGym pick-place export into
+  training instances (scripts/process_sim.py).
 """
 
 from __future__ import annotations
@@ -212,3 +214,49 @@ def active_learning_select(failure_dir: str, dest_dir: str,
     for n in names:
         shutil.copyfile(os.path.join(failure_dir, n), os.path.join(dest_dir, n))
     return len(names)
+
+
+def process_sim_dataset(
+    sim_root: str,
+    store_root: str,
+    prompts_per_scene: int = 10,
+    most_descriptive_prompt_idx: int = 6,
+) -> int:
+    """Flatten an IsaacGym pick-place export into training instances.
+
+    Reference scripts/process_sim.py:22-58: the simulator writes groups of
+    ``prompts_per_scene`` sibling ``run_<N>`` folders that share one scene but
+    carry different prompt phrasings in ``lang.txt``.  Scene ``idx`` copies
+    every non-lang file from ``run_<prompts_per_scene*idx>`` into
+    ``store_root/<idx>/`` and writes a combined ``lang.txt`` with the most
+    descriptive phrasing first, then the remaining variants in run order.
+    Returns the number of scenes exported.
+    """
+    os.makedirs(store_root, exist_ok=True)
+    n_scenes = len(os.listdir(sim_root)) // prompts_per_scene
+    exported = 0
+    for idx in range(n_scenes):
+        base = os.path.join(sim_root, f"run_{prompts_per_scene * idx}")
+        if not os.path.isdir(base):
+            continue
+        prompts = []
+        for j in range(prompts_per_scene):
+            lang = os.path.join(sim_root, f"run_{prompts_per_scene * idx + j}", "lang.txt")
+            if os.path.exists(lang):
+                with open(lang) as f:
+                    prompts.append(f.readline().rstrip("\n"))
+        if len(prompts) <= most_descriptive_prompt_idx:
+            continue
+        dest = os.path.join(store_root, str(idx))
+        os.makedirs(dest, exist_ok=True)
+        for name in os.listdir(base):
+            if name == "lang.txt":
+                continue
+            shutil.copyfile(os.path.join(base, name), os.path.join(dest, name))
+        ordered = [prompts[most_descriptive_prompt_idx]] + [
+            p for j, p in enumerate(prompts) if j != most_descriptive_prompt_idx
+        ]
+        with open(os.path.join(dest, "lang.txt"), "w") as f:
+            f.write("\n".join(ordered) + "\n")
+        exported += 1
+    return exported
