@@ -70,18 +70,30 @@ def main():
                           jnp.zeros((2, 3)))))
 
     if mode == "unet":
-        # raw denoiser throughput: steps/sec/chip at CFG batch 2
-        fn = jax.jit(lambda p, x, t, s, a: unet.apply(p, x, t, s, a))
-        x = jnp.zeros((2, F, H // 8, W // 8, 8), dtype)
+        # Raw denoiser throughput: steps/sec/chip at CFG batch 2.  Measured as
+        # one jitted lax.scan of `steps` data-dependent forwards — individual
+        # jit calls timed in a Python loop overlap in the async dispatch queue
+        # and can read 100x too fast (the remote-device buffer future resolves
+        # before execution), so only a chained on-device loop is trustworthy.
         s = jnp.zeros((2, 78, 1024), dtype)
         a = jnp.asarray([[6.0, 200.0, 0.1]] * 2)
-        fn(uparams, x, jnp.float32(1.6), s, a).block_until_ready()
-        n = 10
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(uparams, x, jnp.float32(1.6), s, a)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / n
+
+        @jax.jit
+        def fn(p, x0):
+            def body(c, _):
+                out = unet.apply(p, c, jnp.float32(1.6), s, a)
+                return jnp.concatenate([out, out], axis=-1).astype(dtype), ()
+
+            return jax.lax.scan(body, x0, None, length=steps)[0]
+
+        x = jnp.zeros((2, F, H // 8, W // 8, 8), dtype)
+        fn(uparams, x).block_until_ready()
+        dts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(uparams, x).block_until_ready()
+            dts.append((time.perf_counter() - t0) / steps)
+        dt = min(dts)
         print(json.dumps({
             "metric": "UNet denoise steps/sec/chip (CFG batch 2, 14f 256x384, bf16)",
             "value": round(1.0 / dt, 3), "unit": "steps/s",
@@ -104,6 +116,10 @@ def main():
         unet=unet, vae=vae, image_encoder=vis, text_encoder=txt,
         unet_params=uparams, vae_params=vparams,
         image_encoder_params=visparams, text_encoder_params=txtparams,
+        # serving mode: denoiser weights compiled in as constants (~11%
+        # faster steps; weights never change at inference). BENCH_BAKE=0 to
+        # measure the weights-as-arguments path.
+        bake_params=os.environ.get("BENCH_BAKE", "1") == "1",
     )
     image = jnp.zeros((1, H, W, 3), jnp.float32)
     ids = jnp.zeros((1, 77), jnp.int32)

@@ -103,6 +103,7 @@ def build_pipeline(args):
         unet=unet, vae=vae, image_encoder=vis, text_encoder=txt,
         unet_params=uparams, vae_params=vparams,
         image_encoder_params=visparams, text_encoder_params=txtparams,
+        bake_params=True,  # weights fixed for the whole run: serve baked
     )
     if is_gesture:
         return StableVideoDiffusionControlNetPipeline(

@@ -9,9 +9,9 @@ reshape), per-channel affine and optional SiLU fused into the write.
 
 Opt-in via TTV_FUSED_GROUPNORM=1: after the layout-friendly XLA GroupNorm
 rewrite in models/layers.py, the XLA path measured equal-or-faster end to end
-(3.43 s vs 3.52 s for the 25-step denoise scan), so the kernel is kept for
-future tuning but disabled by default.  Numerics identical
-(tests/test_groupnorm_pallas.py).
+(25-step UNet scan on 1x v5e: 122 ms/step XLA-GN vs 125 ms/step fused, both
+with Pallas flash attention), so the kernel is kept for future tuning but
+disabled by default.  Numerics identical (tests/test_groupnorm_pallas.py).
 """
 
 from __future__ import annotations

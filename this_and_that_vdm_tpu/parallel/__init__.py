@@ -1,3 +1,19 @@
-from .mesh import make_mesh, shard_params, shard_batch, replicate
+from .mesh import (
+    make_mesh,
+    make_serving_mesh,
+    shard_params,
+    shard_batch,
+    shard_leading,
+    replicate,
+    replicate_to_mesh,
+)
 
-__all__ = ["make_mesh", "shard_params", "shard_batch", "replicate"]
+__all__ = [
+    "make_mesh",
+    "make_serving_mesh",
+    "shard_params",
+    "shard_batch",
+    "shard_leading",
+    "replicate",
+    "replicate_to_mesh",
+]

@@ -81,8 +81,27 @@ def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
-def shard_leading(tree: Any, mesh: Mesh) -> Any:
-    """device_put with the leading axis split over (dp, fsdp) — the
-    batch-of-clips axis for data-parallel inference."""
-    s = NamedSharding(mesh, P(("dp", "fsdp")))
+def shard_leading(tree: Any, mesh: Mesh, axes: Optional[Sequence[str]] = None) -> Any:
+    """device_put with the leading axis split over ``axes`` (default: every
+    mesh axis) — the batch-of-clips axis for data-parallel inference."""
+    axes = tuple(axes) if axes is not None else tuple(mesh.axis_names)
+    s = NamedSharding(mesh, P(axes))
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def make_serving_mesh(devices: Optional[Sequence] = None, cfg: int = 1) -> Mesh:
+    """('clip', 'cfg') mesh for inference serving.
+
+    * ``clip`` — clips data-parallel (throughput), like the (dp, fsdp) batch
+      axis but named for serving.
+    * ``cfg``  — the classifier-free-guidance folded batch axis (latency):
+      the uncond/cond halves are fully independent through the UNet and
+      ControlNet, so splitting them over 2 chips halves per-step time at the
+      cost of one small latent all-gather per denoise step (the CFG combine)
+      riding ICI.  ``cfg`` should be 2 (standard CFG) or 3 (InstructPix2Pix).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % cfg == 0, f"{n} devices not divisible by cfg={cfg}"
+    arr = np.asarray(devices).reshape(n // cfg, cfg)
+    return Mesh(arr, ("clip", "cfg"))

@@ -38,15 +38,33 @@ class StableVideoDiffusionPipeline:
     text_encoder: Optional[CLIPTextModel] = None
     text_encoder_params: Any = None
     mesh: Any = None  # set via place_on_mesh for data-parallel serving
+    # Serving mode: close over the denoiser weights so XLA compiles them in
+    # as constants with pre-transformed layouts — measured ~11% faster per
+    # denoise step on v5e (8.2 vs 7.3 steps/s) at the cost of a second copy
+    # of the weights inside the executable.  Set at construction (denoise
+    # executables are cached); leave False when weights change between calls
+    # (e.g. validation-in-training renders from live training params).
+    bake_params: bool = False
 
     # ------------------------------------------------------------------ mesh
 
     def place_on_mesh(self, mesh):
-        """Serve batches of clips data-parallel over a ``jax.sharding.Mesh``
-        (the TPU-native answer to "more GPUs" at inference, SURVEY §2.8):
-        parameters are replicated on every chip, per-call inputs are sharded
-        on the leading clip-batch axis, and GSPMD partitions every jitted
-        stage.  The clip batch must divide the mesh size."""
+        """Serve over a ``jax.sharding.Mesh`` (the TPU-native answer to "more
+        GPUs" at inference, SURVEY §2.8).  Parameters are replicated on every
+        chip; per-call inputs are sharded on the leading clip-batch axis and
+        GSPMD partitions every jitted stage.  Two mesh flavors:
+
+        * ``make_mesh`` (dp, fsdp) or any mesh without a ``cfg`` axis —
+          pure clip-batch data parallelism (throughput); the batch must
+          divide the mesh size.
+        * ``make_serving_mesh`` (clip, cfg) — additionally splits the
+          CFG-folded batch axis of the denoise scan over ``cfg`` chips
+          (latency: the uncond/cond UNet+ControlNet passes run on different
+          chips, synchronising only at the per-step CFG combine).
+
+        Call before the first generation — denoise executables are cached
+        per (steps, frames) and bake the mesh in (this method clears them).
+        """
         from ..parallel.mesh import replicate_to_mesh
 
         self.unet_params = replicate_to_mesh(self.unet_params, mesh)
@@ -57,6 +75,10 @@ class StableVideoDiffusionPipeline:
         if getattr(self, "controlnet_params", None) is not None:
             self.controlnet_params = replicate_to_mesh(self.controlnet_params, mesh)
         self.mesh = mesh
+        self._denoise_fn.cache_clear()
+        self._decode_fn.cache_clear()
+        if hasattr(self, "_denoise_cn_fn"):
+            self._denoise_cn_fn.cache_clear()
         return self
 
     def _maybe_shard(self, *arrays):
@@ -64,8 +86,25 @@ class StableVideoDiffusionPipeline:
             return arrays
         from ..parallel.mesh import shard_leading
 
-        return tuple(None if a is None else shard_leading(a, self.mesh)
+        axes = ("clip",) if "cfg" in self.mesh.axis_names else None
+        return tuple(None if a is None else shard_leading(a, self.mesh, axes)
                      for a in arrays)
+
+    def _constrain_cfg(self, x):
+        """Anchor the CFG-folded batch axis (cfg-major: ``cfg_concat`` emits
+        [uncond(B); cond(B)]) to the ('cfg', 'clip') mesh axes inside the
+        denoise scan.  No-op without a cfg mesh axis or when the axis does
+        not divide."""
+        if self.mesh is None or "cfg" not in self.mesh.axis_names:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = self.mesh.shape["cfg"] * self.mesh.shape["clip"]
+        if x.shape[0] % n:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P(("cfg", "clip")))
+        )
 
     # ---------------------------------------------------------------- encode
 
@@ -104,9 +143,11 @@ class StableVideoDiffusionPipeline:
         sched = make_svd_schedule(num_steps)
         sigmas = jnp.asarray(sched.sigmas)
         timesteps = jnp.asarray(sched.timesteps)
+        baked = self.unet_params if self.bake_params else None
 
         @jax.jit
         def fn(unet_params, noise, states_cfg, image_latents_cfg, added_time_ids_cfg, guidance):
+            unet_params = baked if baked is not None else unet_params
             b = noise.shape[0]
             img_lat = jnp.repeat(image_latents_cfg[:, None], num_frames, axis=1)
 
@@ -114,6 +155,7 @@ class StableVideoDiffusionPipeline:
                 inp = jnp.concatenate([latents, latents], axis=0)
                 inp = inp / jnp.sqrt(sigmas[i] ** 2 + 1.0)  # scale_model_input
                 inp = jnp.concatenate([inp, img_lat], axis=-1)
+                inp = self._constrain_cfg(inp)
                 pred = self.unet.apply(
                     unet_params, inp, timesteps[i], states_cfg, added_time_ids_cfg
                 )
@@ -182,7 +224,8 @@ class StableVideoDiffusionPipeline:
             )
         (latents,) = self._maybe_shard(latents)
         latents = self._denoise_fn(num_inference_steps, num_frames)(
-            self.unet_params, latents, states_cfg, img_lat_cfg, add_ids, guidance
+            None if self.bake_params else self.unet_params,
+            latents, states_cfg, img_lat_cfg, add_ids, guidance
         )
 
         if output_type == "latent":

@@ -62,21 +62,26 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
             np.float32,
         )
         keep = jnp.asarray(keep)
+        baked = (self.unet_params, self.controlnet_params) if self.bake_params else None
 
         @jax.jit
         def fn(unet_params, cn_params, noise, states_cfg, image_latents_cfg,
                cond_latents, add_ids_cfg, guidance, cond_scale, image_guidance_scale):
+            if baked is not None:
+                unet_params, cn_params = baked
             img_lat = jnp.repeat(image_latents_cfg[:, None], num_frames, axis=1)
             b = noise.shape[0]
             # condition latents: [B, F, h, w, 4]; guess_mode runs controlnet on
             # the cond half only, otherwise duplicated across the CFG batch
             cn_batch = 1 if (guess_mode and mult > 1) else mult
             cn_cond = jnp.tile(cond_latents[None], (b * cn_batch, 1, 1, 1, 1))
+            cn_cond = self._constrain_cfg(cn_cond)
 
             def body(latents, i):
                 inp = jnp.concatenate([latents] * mult, axis=0)
                 inp = inp / jnp.sqrt(sigmas[i] ** 2 + 1.0)
                 inp = jnp.concatenate([inp, img_lat], axis=-1)
+                inp = self._constrain_cfg(inp)
 
                 scale = cond_scale * keep[i]
                 if guess_mode and mult > 1:
@@ -180,8 +185,9 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
             num_inference_steps, num_frames, use_instructpix2pix, guess_mode,
             float(control_guidance_start), float(control_guidance_end),
         )(
-            self.unet_params, self.controlnet_params, latents, states_cfg,
-            img_lat_cfg, cond_latents, add_ids, guidance,
+            None if self.bake_params else self.unet_params,
+            None if self.bake_params else self.controlnet_params,
+            latents, states_cfg, img_lat_cfg, cond_latents, add_ids, guidance,
             float(controlnet_conditioning_scale), float(image_guidance_scale),
         )
 
