@@ -10,8 +10,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 >1.0 means faster than the target. The reference repo publishes no numbers
 (BASELINE.md), so the driver's north-star is the comparison point.
 
-Env knobs: BENCH_STEPS (default 25), BENCH_MODE=vgl|vl|unet (default vgl),
-BENCH_DTYPE=bf16|f32.
+Env knobs: BENCH_STEPS (default 25), BENCH_MODE=vgl|vl|unet|train|train_vgl
+(default vgl), BENCH_DTYPE=bf16|f32, BENCH_BAKE=1|0 (serving weight baking).
+
+``train`` / ``train_vgl``: full-size EDM train step (frozen VAE+CLIP encodes,
+noising + conditioning dropout, fwd+bwd with per-block remat, 8-bit Adam
+update) at the reference's per-device batch of 1 (train_image2video.yaml:41,
+accelerate_config.json num_processes=4), 14 frames 256x384 — steps/s/chip.
 """
 
 import json
@@ -44,6 +49,94 @@ def _zeros_like_tree(tree, dtype=jnp.bfloat16):
     return jax.tree.map(mk, tree)
 
 
+def bench_train(mode, H, W, F, dtype):
+    """Full-size EDM train step throughput at the reference's per-device
+    batch of 1 (VL: trainable UNet fp32 + remat; VGL: trainable GestureNet,
+    frozen UNet bf16), frozen towers bf16, 8-bit Adam (bitsandbytes parity)."""
+    import numpy as np
+
+    from this_and_that_vdm_tpu.models.unet import (
+        UNetSpatioTemporalConditionModel, UNetConfig,
+    )
+    from this_and_that_vdm_tpu.models.controlnet import ControlNetModel, ControlNetConfig
+    from this_and_that_vdm_tpu.models.vae import AutoencoderKLTemporalDecoder, VAEConfig
+    from this_and_that_vdm_tpu.models.clip import (
+        CLIPTextModel, CLIPTextConfig, CLIPVisionModelWithProjection, CLIPVisionConfig,
+    )
+    from this_and_that_vdm_tpu.training import trainer
+
+    key = jr.PRNGKey(0)
+    B = int(os.environ.get("BENCH_BATCH", 1))
+    vgl = mode == "train_vgl"
+
+    unet = UNetSpatioTemporalConditionModel(
+        UNetConfig(remat=not vgl), dtype=jnp.bfloat16
+    )
+    modules = dict(
+        vae=AutoencoderKLTemporalDecoder(VAEConfig(), dtype=jnp.bfloat16),
+        image_encoder=CLIPVisionModelWithProjection(CLIPVisionConfig(), dtype=jnp.bfloat16),
+        text_encoder=CLIPTextModel(CLIPTextConfig(), dtype=jnp.bfloat16),
+    )
+    usample = jnp.zeros((2, F, H // 8, W // 8, 8), jnp.bfloat16)
+    ust = jnp.zeros((2, 78, 1024), jnp.bfloat16)
+    uai = jnp.zeros((2, 3))
+    uparams = jax.eval_shape(lambda: unet.init(key, usample, jnp.float32(1.6), ust, uai))
+    frozen_shapes = dict(
+        vae=jax.eval_shape(lambda: modules["vae"].init(
+            key, jnp.zeros((1, H, W, 3), jnp.bfloat16),
+            jnp.zeros((1, 1, H // 8, W // 8, 4), jnp.bfloat16))),
+        image_encoder=jax.eval_shape(lambda: modules["image_encoder"].init(
+            key, jnp.zeros((1, 224, 224, 3), jnp.bfloat16))),
+        text_encoder=jax.eval_shape(lambda: modules["text_encoder"].init(
+            key, jnp.zeros((1, 77), jnp.int32))),
+    )
+    frozen = _zeros_like_tree(frozen_shapes)  # frozen towers served in bf16
+
+    cfg = trainer.TrainConfig(
+        lr_warmup_steps=0, use_8bit_adam=True,
+        max_grad_norm=1.0 if vgl else None,
+    )
+    tx = trainer.make_optimizer(cfg)
+
+    if vgl:
+        cn = ControlNetModel(ControlNetConfig(remat=True), dtype=jnp.bfloat16)
+        cn_shapes = jax.eval_shape(lambda: cn.init(
+            key, usample, jnp.float32(1.6), ust, uai,
+            jnp.zeros((2, F, H // 8, W // 8, 4), jnp.bfloat16)))
+        train_params = _zeros_like_tree(cn_shapes, jnp.float32)
+        frozen["unet"] = _zeros_like_tree(uparams)  # frozen UNet in bf16
+        step = trainer.make_vgl_train_step(unet, cn, modules, tx, cfg)
+    else:
+        train_params = _zeros_like_tree(uparams, jnp.float32)  # fp32 trainables
+        step = trainer.make_vl_train_step(unet, modules, tx, cfg)
+
+    state = trainer.init_train_state(train_params, tx)
+    rng = np.random.RandomState(0)
+    batch = dict(
+        video_frames=jnp.asarray(rng.randn(B, F, H, W, 3).astype(np.float32) * 0.2),
+        prompt_ids=jnp.zeros((B, 77), jnp.int32),
+        motion_bucket_id=jnp.full((B,), 200.0),
+    )
+    if vgl:
+        batch["condition"] = jnp.asarray(
+            rng.rand(B, F, H, W, 3).astype(np.float32))
+
+    state, _ = step(state, frozen, batch, jr.PRNGKey(1))  # compile + warm
+    jax.block_until_ready(state.params)
+    n = 5
+    t0 = time.perf_counter()
+    for i in range(2, n + 2):  # donated state chains the steps on-device
+        state, metrics = step(state, frozen, batch, jr.PRNGKey(i))
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / n
+    name = "VGL (GestureNet)" if vgl else "VL (UNet fp32+remat)"
+    print(json.dumps({
+        "metric": f"{name} EDM train steps/sec/chip (batch {B}, 14f 256x384, 8-bit Adam)",
+        "value": round(1.0 / dt, 3), "unit": "steps/s",
+        "vs_baseline": 1.0,  # reference publishes no training throughput
+    }))
+
+
 def main():
     from this_and_that_vdm_tpu.models.unet import (
         UNetSpatioTemporalConditionModel, UNetConfig,
@@ -62,6 +155,9 @@ def main():
 
     H, W, F = 256, 384, 14
     key = jr.PRNGKey(0)
+
+    if mode in ("train", "train_vgl"):
+        return bench_train(mode, H, W, F, dtype)
 
     unet = UNetSpatioTemporalConditionModel(UNetConfig(), dtype=dtype)
     uparams = _zeros_like_tree(jax.eval_shape(

@@ -52,3 +52,26 @@ def test_dot_product_attention_backend_switch():
     out = attention.dot_product_attention(q, q, q)
     assert out.shape == q.shape
     assert np.allclose(np.asarray(out), np.asarray(_ref(q, q, q, 64**-0.5)), atol=1e-5)
+
+
+def test_flash_gradient_interpret():
+    # custom_vjp: pallas forward (interpret), XLA-math backward
+    rng = np.random.RandomState(2)
+    b, s, h, d = 1, 256, 2, 64
+    q = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    scale = d**-0.5
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    def loss(fn):
+        return lambda q, k, v: (fn(q, k, v, scale) * jnp.cos(q)).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gq, gk, gv = jax.grad(loss(fa.flash_attention), argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss(lambda a, b_, c, s_: _ref(a, b_, c, s_)),
+                          argnums=(0, 1, 2))(q, k, v)
+    for g, r in ((gq, rq), (gk, rk), (gv, rv)):
+        assert np.allclose(np.asarray(g), np.asarray(r), atol=3e-5), \
+            np.abs(np.asarray(g) - np.asarray(r)).max()

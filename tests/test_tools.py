@@ -209,3 +209,25 @@ def test_process_sim_dataset(tmp_path):
     assert lines == ["prompt run1", "prompt run0", "prompt run2"]  # idx 1 first
     assert (out / "0" / "im_0.jpg").read_bytes() == b"jpegbytes"
     assert (out / "0" / "data.txt").exists()
+
+
+def test_flow_colorwheel_and_image():
+    from this_and_that_vdm_tpu.curation.painters import make_colorwheel, flow_to_image
+
+    w = make_colorwheel()
+    assert w.shape == (55, 3)
+    # sector boundary colors of the Baker et al. wheel
+    np.testing.assert_array_equal(w[0], [255, 0, 0])        # red
+    np.testing.assert_array_equal(w[15], [255, 255, 0])     # yellow
+    np.testing.assert_array_equal(w[21], [0, 255, 0])       # green
+    np.testing.assert_array_equal(w[25], [0, 255, 255])     # cyan
+    np.testing.assert_array_equal(w[36], [0, 0, 255])       # blue
+    np.testing.assert_array_equal(w[49], [255, 0, 255])     # magenta
+
+    flow = np.stack(np.meshgrid(np.linspace(-3, 3, 33), np.linspace(-3, 3, 25)), -1)
+    img = flow_to_image(flow.astype(np.float32))
+    assert img.shape == (25, 33, 3) and img.dtype == np.uint8
+    # zero flow (exact center of the odd grid) renders white
+    np.testing.assert_array_equal(img[12, 16], [255, 255, 255])
+    bgr = flow_to_image(flow.astype(np.float32), convert_to_bgr=True)
+    np.testing.assert_array_equal(bgr[..., ::-1], img)

@@ -98,3 +98,49 @@ def sam_visualization(image_rgb: np.ndarray, mask: np.ndarray,
     if points_xy:
         out = point_painter(out, points_xy, point_radius=8)
     return out
+
+
+def make_colorwheel() -> np.ndarray:
+    """Baker et al. (2007) optical-flow color wheel: 55 RGB entries over the
+    RY/YG/GC/CB/BM/MR sectors (reference utils/optical_flow_utils.py:4-51)."""
+    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
+    wheel = np.zeros((RY + YG + GC + CB + BM + MR, 3), np.float32)
+    col = 0
+    for n, (a, b, ramp_up) in (
+        (RY, (0, 1, True)), (YG, (0, 1, False)), (GC, (1, 2, True)),
+        (CB, (1, 2, False)), (BM, (2, 0, True)), (MR, (2, 0, False)),
+    ):
+        ramp = np.arange(n, dtype=np.float32) / n
+        wheel[col : col + n, a] = 255 if ramp_up else 255 * (1 - ramp)
+        wheel[col : col + n, b] = 255 * ramp if ramp_up else 255
+        col += n
+    return wheel
+
+
+def flow_to_image(flow_uv: np.ndarray, clip_flow: Optional[float] = None,
+                  convert_to_bgr: bool = False) -> np.ndarray:
+    """[H, W, 2] flow -> uint8 color image: hue = direction on the wheel,
+    saturation = magnitude normalised by the frame max (reference
+    utils/optical_flow_utils.py:54-121)."""
+    flow = np.clip(flow_uv, 0, clip_flow) if clip_flow is not None else flow_uv
+    u, v = flow[..., 0], flow[..., 1]
+    rad = np.sqrt(u * u + v * v)
+    rad_max = max(rad.max(), 1e-5)
+    u, v = u / rad_max, v / rad_max
+    rad = np.sqrt(u * u + v * v)
+
+    wheel = make_colorwheel()
+    ncols = wheel.shape[0]
+    a = np.arctan2(-v, -u) / np.pi          # [-1, 1]
+    fk = (a + 1) / 2 * (ncols - 1)          # fractional wheel index
+    k0 = np.floor(fk).astype(np.int32)
+    k1 = (k0 + 1) % ncols
+    f = fk - k0
+
+    img = np.zeros(u.shape + (3,), np.uint8)
+    for i in range(3):
+        c = ((1 - f) * wheel[k0, i] + f * wheel[k1, i]) / 255.0
+        small = rad <= 1
+        c = np.where(small, 1 - rad * (1 - c), c * 0.75)  # saturate in-range,
+        img[..., 2 - i if convert_to_bgr else i] = np.floor(255 * c)  # dim outliers
+    return img

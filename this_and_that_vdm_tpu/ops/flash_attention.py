@@ -65,9 +65,41 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
 def flash_attention(q, k, v, scale: float):
-    """q/k/v: [B, S, H, D] -> [B, S, H, D] (internally folded to [B*H, S, D])."""
+    """q/k/v: [B, S, H, D] -> [B, S, H, D].
+
+    Differentiable: the Pallas kernel runs the forward; the backward pass
+    recomputes gradients through the (mathematically identical) XLA einsum
+    attention — a pallas_call has no autodiff rule of its own, and training
+    rematerialises the forward anyway (UNetConfig.remat), so a fused
+    backward kernel would only re-save the ~8% the forward kernel wins.
+    """
+    return _flash(q, k, v, scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, scale):
+    return _flash_call(q, k, v, scale=scale)
+
+
+def _flash_fwd(q, k, v, scale):
+    return _flash_call(q, k, v, scale=scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    from .attention import _xla_attention
+
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _xla_attention(a, b, c, scale), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _flash_call(q, k, v, scale: float):
+    """[B, S, H, D] kernel dispatch (internally folded to [B*H, S, D])."""
     b, s, h, d = q.shape
 
     def fold(x):  # [B, S, H, D] -> [B*H, S, D]
