@@ -69,8 +69,11 @@ def bench_train(mode, H, W, F, dtype):
     B = int(os.environ.get("BENCH_BATCH", 1))
     vgl = mode == "train_vgl"
 
+    # remat stays on in VGL too: the UNet is frozen but in the grad path
+    # (loss -> UNet -> ControlNet residuals), so without checkpointing every
+    # UNet activation is saved for backward.
     unet = UNetSpatioTemporalConditionModel(
-        UNetConfig(remat=not vgl), dtype=jnp.bfloat16
+        UNetConfig(remat=True), dtype=jnp.bfloat16
     )
     modules = dict(
         vae=AutoencoderKLTemporalDecoder(VAEConfig(), dtype=jnp.bfloat16),
