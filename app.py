@@ -19,6 +19,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from this_and_that_vdm_tpu.cli.inference import configure_jax_runtime
+
+configure_jax_runtime()  # honor JAX_PLATFORMS + persistent compile cache
+
 import numpy as np
 import cv2
 
@@ -61,10 +65,9 @@ def run_generation(pipe, tokenize, image_rgb_uint8, points, prompt, seed=42,
 
 
 def export_mp4(frames, path, fps=4):
-    import imageio
+    from this_and_that_vdm_tpu.utils.video_io import export_mp4 as _export
 
-    imageio.mimsave(path, list(frames), fps=fps)
-    return path
+    return _export(frames, path, fps=fps)  # cv2/GIF fallback sans ffmpeg
 
 
 def launch_gradio(pretrained=None, random_weights=False):
@@ -138,8 +141,8 @@ def main():
     img = cv2.cvtColor(cv2.imread(args.image), cv2.COLOR_BGR2RGB)
     pts = [tuple(map(float, s.split(","))) for s in args.points]
     frames = run_generation(pipe, tokenize, img, pts, args.prompt, args.seed, args.steps)
-    export_mp4(frames, args.out)
-    print(f"wrote {args.out} ({len(frames)} frames)")
+    out = export_mp4(frames, args.out)
+    print(f"wrote {out} ({len(frames)} frames)")
 
 
 if __name__ == "__main__":

@@ -222,8 +222,9 @@ def main():
         # measure the weights-as-arguments path.
         bake_params=os.environ.get("BENCH_BAKE", "1") == "1",
     )
-    image = jnp.zeros((1, H, W, 3), jnp.float32)
-    ids = jnp.zeros((1, 77), jnp.int32)
+    B = int(os.environ.get("BENCH_BATCH", 1))  # clips per call (throughput)
+    image = jnp.zeros((B, H, W, 3), jnp.float32)
+    ids = jnp.zeros((B, 77), jnp.int32)
     call_kwargs = dict(
         prompt_ids=ids, num_frames=F, num_inference_steps=steps,
         motion_bucket_id=200, noise_aug_strength=0.1, decode_chunk_size=8,
@@ -251,9 +252,10 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n):
         out = run()
-    dt = (time.perf_counter() - t0) / n
+    dt = (time.perf_counter() - t0) / n / B  # np output = host readback
+    batch_note = f", batch {B}" if B > 1 else ""
     print(json.dumps({
-        "metric": f"sec per 14-frame 256x384 {mode.upper()} clip @{steps} steps (1 chip, bf16)",
+        "metric": f"sec per 14-frame 256x384 {mode.upper()} clip @{steps} steps (1 chip, bf16{batch_note})",
         "value": round(dt, 3), "unit": "s/clip",
         "vs_baseline": round(10.0 / dt, 3),
     }))

@@ -188,7 +188,24 @@ def execute_inference(args) -> list:
     return outputs
 
 
+def configure_jax_runtime():
+    """Honor JAX_PLATFORMS (the sandbox sitecustomize clobbers it) and turn
+    on the persistent compile cache — remote TPU compiles take minutes."""
+    import jax
+
+    try:
+        if os.environ.get("JAX_PLATFORMS"):
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass  # backend already initialized
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/ttv_jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main(argv=None):
+    configure_jax_runtime()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model-type", "--model_type", dest="model_type",
                    choices=["UNet", "GestureNet"], default="GestureNet")

@@ -23,6 +23,9 @@ import cv2
 
 
 def main(argv=None):
+    from .inference import configure_jax_runtime
+
+    configure_jax_runtime()
     p = argparse.ArgumentParser()
     p.add_argument("--model-type", choices=["UNet", "GestureNet"], default="UNet")
     p.add_argument("--pretrained", default=None)

@@ -27,10 +27,28 @@ def export_gif(frames_uint8: Sequence[np.ndarray], path: str, fps: int = 4) -> s
 
 
 def export_mp4(frames_uint8: Sequence[np.ndarray], path: str, fps: int = 4) -> str:
-    import imageio
+    """Write an mp4 via imageio; falls back to cv2's bundled encoder and then
+    to GIF when no ffmpeg/pyav imageio backend is installed (the sandbox
+    ships neither — 'stub or gate' rule)."""
+    frames = [np.asarray(f) for f in frames_uint8]
+    try:
+        import imageio
 
-    imageio.mimsave(path, list(frames_uint8), fps=fps)
-    return path
+        imageio.mimsave(path, frames, fps=fps)
+        return path
+    except Exception:
+        pass
+    h, w = frames[0].shape[:2]
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if writer.isOpened():
+        for f in frames:
+            writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        writer.release()
+        return path
+    writer.release()
+    gif = os.path.splitext(path)[0] + ".gif"
+    export_gif(frames, gif, fps=fps)
+    return gif
 
 
 def load_frames_dir(path: str, ext: str = ".png") -> List[np.ndarray]:
