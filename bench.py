@@ -30,12 +30,12 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
-# Persist compiled executables across bench invocations (works for TPU too;
-# first run pays the ~15 min remote compile, subsequent runs start hot).
-jax.config.update(
-    "jax_compilation_cache_dir", os.path.expanduser("~/.cache/ttv_jax_cache")
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from this_and_that_vdm_tpu.cli.inference import configure_jax_runtime
+
+# Honor JAX_PLATFORMS (sandbox sitecustomize clobbers it) + persist compiled
+# executables across bench invocations (first TPU run pays the multi-minute
+# remote compile, subsequent runs start hot).
+configure_jax_runtime()
 
 
 def _zeros_like_tree(tree, dtype=jnp.bfloat16):
@@ -49,7 +49,7 @@ def _zeros_like_tree(tree, dtype=jnp.bfloat16):
     return jax.tree.map(mk, tree)
 
 
-def bench_train(mode, H, W, F, dtype):
+def bench_train(mode, H, W, F):
     """Full-size EDM train step throughput at the reference's per-device
     batch of 1 (VL: trainable UNet fp32 + remat; VGL: trainable GestureNet,
     frozen UNet bf16), frozen towers bf16, 8-bit Adam (bitsandbytes parity)."""
@@ -160,7 +160,10 @@ def main():
     key = jr.PRNGKey(0)
 
     if mode in ("train", "train_vgl"):
-        return bench_train(mode, H, W, F, dtype)
+        # train modes have fixed precision (bf16 compute towers, fp32
+        # trainables — the reference's mixed-precision recipe); BENCH_DTYPE
+        # only affects the inference modes.
+        return bench_train(mode, H, W, F)
 
     unet = UNetSpatioTemporalConditionModel(UNetConfig(), dtype=dtype)
     uparams = _zeros_like_tree(jax.eval_shape(

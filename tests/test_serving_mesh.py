@@ -109,3 +109,56 @@ def test_bake_params_matches_default(pipe):
     baked = dataclasses.replace(pipe, bake_params=True)
     got = baked(image, cond, **_call_kwargs(latents))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_bake_params_not_stale_after_weight_swap(pipe):
+    image, ids, cond, latents = _inputs()
+    baked = dataclasses.replace(pipe, bake_params=True)
+    out1 = baked(image, cond, **_call_kwargs(latents))
+    baked.unet_params = jax.tree.map(lambda x: x * 0, baked.unet_params)
+    baked.controlnet_params = jax.tree.map(lambda x: x * 0, baked.controlnet_params)
+    out2 = baked(image, cond, **_call_kwargs(latents))  # must re-bake, not reuse
+    assert not np.allclose(out1, out2, atol=1e-3)
+
+
+def test_ip2p_guess_mode_residuals_on_cond_branch(pipe):
+    """guess_mode + use_instructpix2pix: ControlNet runs on the cond branch
+    (FIRST third of the ip2p [cond; uncond_t; uncond_i] layout) and its
+    residuals must land on that same branch."""
+    from this_and_that_vdm_tpu.pipelines import common as pcommon
+    from this_and_that_vdm_tpu.schedulers import make_svd_schedule
+
+    image, ids, cond, latents = _inputs()
+    kw = dict(_call_kwargs(latents), num_inference_steps=1,
+              use_instructpix2pix=True, guess_mode=True, motion_bucket_id=200,
+              image_guidance_scale=1.5, output_type="latent")
+    got = pipe(image, cond, **kw)
+
+    # hand-rolled single EDM step with the same modules/params
+    sched = make_svd_schedule(1)
+    states, img_lat = pipe._encode_conditioning_cfg(
+        pipe._cond_params(), jnp.asarray(image), jnp.asarray(kw["prompt_ids"]),
+        jnp.zeros_like(jnp.asarray(image)), "ip2p")
+    cond_lat = pipe._encode_condition_img(pipe.vae_params,
+                                          jnp.asarray(cond, jnp.float32))
+    b, mult = B, 3
+    img_lat = jnp.repeat(img_lat[:, None], FR, axis=1)
+    add_ids = pcommon.get_add_time_ids(6, 200, 0.0, b, cfg_mult=mult)
+    guidance = pcommon.guidance_linspace(1.0, 3.0, FR, b)
+    x = latents * sched.init_noise_sigma
+    inp = jnp.concatenate([x] * mult, axis=0) / jnp.sqrt(sched.sigmas[0] ** 2 + 1)
+    inp = jnp.concatenate([inp, img_lat], axis=-1)
+    # ControlNet on the FIRST third (cond), guess-mode logspace scaling
+    res, mid = pipe.controlnet.apply(
+        pipe.controlnet_params, inp[:b], sched.timesteps[0], states[:b],
+        add_ids[:b], jnp.tile(cond_lat[None], (b, 1, 1, 1, 1)),
+        conditioning_scale=1.0, guess_mode=True)
+    pad = lambda r: jnp.concatenate([r] + [jnp.zeros_like(r)] * 2, axis=0)
+    pred = pipe.unet.apply(
+        pipe.unet_params, inp, sched.timesteps[0], states, add_ids,
+        down_block_additional_residuals=tuple(pad(r) for r in res),
+        mid_block_additional_residual=pad(mid))
+    p_first, p_cond, p_uncond = jnp.split(pred, 3, axis=0)
+    pred = p_uncond + guidance * (p_cond - p_uncond) + 1.5 * (p_cond - p_first)
+    want = sched.step(pred, 0, x)
+    np.testing.assert_allclose(got, np.asarray(want), atol=5e-4)

@@ -231,6 +231,13 @@ def process_sim_dataset(
     ``store_root/<idx>/`` and writes a combined ``lang.txt`` with the most
     descriptive phrasing first, then the remaining variants in run order.
     Returns the number of scenes exported.
+
+    Two reference quirks replicated deliberately: the scene count derives
+    from ``len(os.listdir)//prompts_per_scene`` (:19), so missing run dirs
+    or stray files shrink the range; and prompts are compacted over missing
+    ``lang.txt`` files (:33-39), so ``most_descriptive_prompt_idx`` indexes
+    the compacted list, not the run number.  We additionally skip a scene
+    (instead of crashing) when fewer prompts than the index survive.
     """
     os.makedirs(store_root, exist_ok=True)
     n_scenes = len(os.listdir(sim_root)) // prompts_per_scene

@@ -75,11 +75,31 @@ class StableVideoDiffusionPipeline:
         if getattr(self, "controlnet_params", None) is not None:
             self.controlnet_params = replicate_to_mesh(self.controlnet_params, mesh)
         self.mesh = mesh
-        self._denoise_fn.cache_clear()
-        self._decode_fn.cache_clear()
-        if hasattr(self, "_denoise_cn_fn"):
-            self._denoise_cn_fn.cache_clear()
+        self._fn_cache.clear()  # executables bake the mesh in
         return self
+
+    @functools.cached_property
+    def _fn_cache(self):
+        """Per-instance compiled-fn cache (NOT class-wide like lru_cache on a
+        method — placing one pipeline on a mesh must not evict another's
+        executables). Keys include the identity of any baked param tree so
+        swapping ``unet_params`` or toggling ``bake_params`` can never serve
+        a stale executable; each entry retains the baked trees so their ids
+        cannot be recycled while cached."""
+        return {}
+
+    def _cached_fn(self, key, build):
+        entry = self._fn_cache.get(key)
+        if entry is None:
+            retain = (self.unet_params, getattr(self, "controlnet_params", None))
+            entry = (build(), retain if self.bake_params else None)
+            self._fn_cache[key] = entry
+        return entry[0]
+
+    def _bake_key(self):
+        if not self.bake_params:
+            return None
+        return (id(self.unet_params), id(getattr(self, "controlnet_params", None)))
 
     def _maybe_shard(self, *arrays):
         if self.mesh is None:
@@ -90,16 +110,22 @@ class StableVideoDiffusionPipeline:
         return tuple(None if a is None else shard_leading(a, self.mesh, axes)
                      for a in arrays)
 
-    def _constrain_cfg(self, x):
+    def _constrain_cfg(self, x, cfg_fold: int = 2):
         """Anchor the CFG-folded batch axis (cfg-major: ``cfg_concat`` emits
         [uncond(B); cond(B)]) to the ('cfg', 'clip') mesh axes inside the
-        denoise scan.  No-op without a cfg mesh axis or when the axis does
-        not divide."""
+        denoise scan.  No-op without a cfg mesh axis, when the axis does not
+        divide, or when the tensor's CFG fold (``cfg_fold`` branches: 2
+        standard, 3 ip2p, 1 for guess-mode cond-only tensors) doesn't match
+        the mesh's cfg axis — constraining a non-matching fold would split
+        rows mid-branch and defeat the latency parallelism."""
         if self.mesh is None or "cfg" not in self.mesh.axis_names:
+            return x
+        cfg_size = self.mesh.shape["cfg"]
+        if cfg_size > 1 and cfg_size != cfg_fold:
             return x
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n = self.mesh.shape["cfg"] * self.mesh.shape["clip"]
+        n = cfg_size * self.mesh.shape["clip"]
         if x.shape[0] % n:
             return x
         return jax.lax.with_sharding_constraint(
@@ -138,8 +164,13 @@ class StableVideoDiffusionPipeline:
 
     # --------------------------------------------------------------- denoise
 
-    @functools.lru_cache(maxsize=8)
     def _denoise_fn(self, num_steps: int, num_frames: int):
+        return self._cached_fn(
+            ("denoise", num_steps, num_frames, self._bake_key()),
+            lambda: self._build_denoise_fn(num_steps, num_frames),
+        )
+
+    def _build_denoise_fn(self, num_steps: int, num_frames: int):
         sched = make_svd_schedule(num_steps)
         sigmas = jnp.asarray(sched.sigmas)
         timesteps = jnp.asarray(sched.timesteps)
@@ -169,18 +200,20 @@ class StableVideoDiffusionPipeline:
 
         return fn
 
-    @functools.lru_cache(maxsize=4)
     def _decode_fn(self, decode_chunk_size: int):
-        @jax.jit
-        def fn(vae_params, latents):
-            return common.decode_latents_chunked(
-                lambda z: self.vae.apply(vae_params, z, method="decode"),
-                latents,
-                self.vae.config.scaling_factor,
-                decode_chunk_size,
-            )
+        def build():
+            @jax.jit
+            def fn(vae_params, latents):
+                return common.decode_latents_chunked(
+                    lambda z: self.vae.apply(vae_params, z, method="decode"),
+                    latents,
+                    self.vae.config.scaling_factor,
+                    decode_chunk_size,
+                )
 
-        return fn
+            return fn
+
+        return self._cached_fn(("decode", decode_chunk_size), build)
 
     # ------------------------------------------------------------------ call
 

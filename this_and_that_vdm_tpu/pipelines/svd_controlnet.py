@@ -45,9 +45,19 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
 
         return fn
 
-    @functools.lru_cache(maxsize=8)
     def _denoise_cn_fn(self, num_steps: int, num_frames: int, ip2p: bool,
-                    guess_mode: bool, ctrl_start: float, ctrl_end: float):
+                       guess_mode: bool, ctrl_start: float, ctrl_end: float):
+        key = ("denoise_cn", num_steps, num_frames, ip2p, guess_mode,
+               ctrl_start, ctrl_end, self._bake_key())
+        return self._cached_fn(
+            key,
+            lambda: self._build_denoise_cn_fn(
+                num_steps, num_frames, ip2p, guess_mode, ctrl_start, ctrl_end
+            ),
+        )
+
+    def _build_denoise_cn_fn(self, num_steps: int, num_frames: int, ip2p: bool,
+                             guess_mode: bool, ctrl_start: float, ctrl_end: float):
         sched = make_svd_schedule(num_steps)
         sigmas = jnp.asarray(sched.sigmas)
         timesteps = jnp.asarray(sched.timesteps)
@@ -75,13 +85,13 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
             # the cond half only, otherwise duplicated across the CFG batch
             cn_batch = 1 if (guess_mode and mult > 1) else mult
             cn_cond = jnp.tile(cond_latents[None], (b * cn_batch, 1, 1, 1, 1))
-            cn_cond = self._constrain_cfg(cn_cond)
+            cn_cond = self._constrain_cfg(cn_cond, cfg_fold=cn_batch)
 
             def body(latents, i):
                 inp = jnp.concatenate([latents] * mult, axis=0)
                 inp = inp / jnp.sqrt(sigmas[i] ** 2 + 1.0)
                 inp = jnp.concatenate([inp, img_lat], axis=-1)
-                inp = self._constrain_cfg(inp)
+                inp = self._constrain_cfg(inp, cfg_fold=mult)
 
                 scale = cond_scale * keep[i]
                 if guess_mode and mult > 1:
@@ -93,11 +103,18 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
                         cn_params, cn_inp, timesteps[i], cn_states,
                         cn_ids, cn_cond, conditioning_scale=scale, guess_mode=True,
                     )
-                    res = tuple(
-                        jnp.concatenate([jnp.zeros_like(r)] * (mult - 1) + [r], axis=0)
-                        for r in res
-                    )
-                    mid = jnp.concatenate([jnp.zeros_like(mid)] * (mult - 1) + [mid], axis=0)
+                    def pad_uncond(r):
+                        # residuals go on the branch the ControlNet ran on:
+                        # cond is LAST in the standard [uncond; cond] layout
+                        # but FIRST in the ip2p [cond; uncond_t; uncond_i]
+                        # layout (pipelines/common.cfg_concat).
+                        zeros = [jnp.zeros_like(r)] * (mult - 1)
+                        return jnp.concatenate(
+                            [r] + zeros if ip2p else zeros + [r], axis=0
+                        )
+
+                    res = tuple(pad_uncond(r) for r in res)
+                    mid = pad_uncond(mid)
                 else:
                     res, mid = self.controlnet.apply(
                         cn_params, inp, timesteps[i], states_cfg,

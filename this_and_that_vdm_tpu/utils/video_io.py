@@ -37,7 +37,8 @@ def export_mp4(frames_uint8: Sequence[np.ndarray], path: str, fps: int = 4) -> s
         imageio.mimsave(path, frames, fps=fps)
         return path
     except Exception:
-        pass
+        if os.path.exists(path):  # don't leave a partial file behind
+            os.remove(path)
     h, w = frames[0].shape[:2]
     writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     if writer.isOpened():
@@ -46,9 +47,18 @@ def export_mp4(frames_uint8: Sequence[np.ndarray], path: str, fps: int = 4) -> s
         writer.release()
         return path
     writer.release()
-    gif = os.path.splitext(path)[0] + ".gif"
-    export_gif(frames, gif, fps=fps)
-    return gif
+    try:
+        gif = os.path.splitext(path)[0] + ".gif"
+        export_gif(frames, gif, fps=fps)
+        return gif
+    except Exception:
+        # last resort: a directory of numbered PNGs (cv2 is always present)
+        frame_dir = os.path.splitext(path)[0] + "_frames"
+        os.makedirs(frame_dir, exist_ok=True)
+        for i, f in enumerate(frames):
+            cv2.imwrite(os.path.join(frame_dir, f"{i}.png"),
+                        cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        return frame_dir
 
 
 def load_frames_dir(path: str, ext: str = ".png") -> List[np.ndarray]:
