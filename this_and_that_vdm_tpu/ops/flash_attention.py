@@ -24,8 +24,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK_Q = 128  # covers the 1536- and 384-token spatial levels
-_SUPPORTED_HEAD_DIM = (64, 128)
+_BLOCK_Q_CANDIDATES = (512, 256, 128)  # largest divisor wins: fewer K/V
+_SUPPORTED_HEAD_DIM = (64, 128)        # re-reads per (batch, head) program
+
+
+def _block_q(s: int):
+    for bq in _BLOCK_Q_CANDIDATES:
+        if s % bq == 0:
+            return bq
+    return None
 
 
 def supports(q, k, v) -> bool:
@@ -37,7 +44,7 @@ def supports(q, k, v) -> bool:
         return False
     if d not in _SUPPORTED_HEAD_DIM:
         return False
-    if s % BLOCK_Q != 0 or s > 4096:
+    if _block_q(s) is None or s > 4096:
         return False
     if q.dtype not in (jnp.float32, jnp.bfloat16):
         return False
@@ -106,17 +113,18 @@ def _flash_call(q, k, v, scale: float):
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
     qf, kf, vf = fold(q), fold(k), fold(v)
-    grid = (b * h, s // BLOCK_Q)
+    bq = _block_q(s)
+    grid = (b * h, s // bq)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((b * h, s, d), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, d), lambda bi, qi: (bi, qi, 0)),
+            pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0)),
             pl.BlockSpec((1, s, d), lambda bi, qi: (bi, 0, 0)),
             pl.BlockSpec((1, s, d), lambda bi, qi: (bi, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, d), lambda bi, qi: (bi, qi, 0)),
+        out_specs=pl.BlockSpec((1, bq, d), lambda bi, qi: (bi, qi, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
