@@ -36,3 +36,29 @@ def test_save_hf_layout(tmp_path):
     assert set(loaded) == set(state)
     k = "down_blocks.0.resnets.0.spatial_res_block.conv1.weight"
     assert np.array_equal(loaded[k], state[k])
+
+
+def test_save_then_load_roundtrip(tmp_path):
+    """HF-layout save -> weights.loader load must reproduce the flax tree
+    (the CLI --pretrained path)."""
+    import jax
+    import jax.numpy as jnp
+    from this_and_that_vdm_tpu.weights import loader
+    from this_and_that_vdm_tpu.weights.export import save_hf_layout
+
+    torch.manual_seed(2)
+    model = ControlNetOracle()
+    state = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    flax_params = torch_state_dict_to_flax(state)
+    save_hf_layout(flax_params, str(tmp_path), "gesturenet")
+
+    loaded = loader.load_gesturenet_params(str(tmp_path))
+    flat_a = jax.tree_util.tree_leaves_with_path(flax_params)
+    flat_b = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(loaded)
+    )
+    assert len(flat_a) == len(flat_b)
+    for p, v in flat_a:
+        got = flat_b[jax.tree_util.keystr(p)]
+        assert np.array_equal(np.asarray(got), np.asarray(v)), p
