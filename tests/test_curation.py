@@ -122,3 +122,104 @@ def test_filter_uv_thresholding():
     flow[1, 1] = (1.0, 0.0)
     out = trajectory.filter_uv(flow, 0.2)
     assert out[0, 0, 0] == 10.0 and out[1, 1, 0] == 0.0
+
+
+class FakeSegmenter:
+    """Returns a square mask around the mean positive point; records prompts."""
+
+    def __init__(self, half=25):
+        self.half = half
+        self.calls = []
+
+    def predict_mask_labeled(self, image_rgb, coords, labels):
+        self.calls.append((np.asarray(coords), np.asarray(labels)))
+        pos = np.asarray(coords)[np.asarray(labels) == 1]
+        cx, cy = pos.mean(axis=0)
+        mask = np.zeros(image_rgb.shape[:2], bool)
+        r0, r1 = int(cy) - self.half, int(cy) + self.half
+        c0, c1 = int(cx) - self.half, int(cx) + self.half
+        mask[max(r0, 0):r1, max(c0, 0):c1] = True
+        return mask
+
+
+def _moving_square_frames(n=14, h=96, w=128, size=16, step=3):
+    frames = []
+    for i in range(n):
+        img = np.zeros((h, w, 3), np.uint8)
+        x = 30 + step * i
+        img[40:40 + size, x:x + size] = 255
+        frames.append(img)
+    return frames
+
+
+def test_sam_start_point_and_ref_chaining(tmp_path):
+    frames = _moving_square_frames()
+    flows = trajectory.compute_flows(np.stack(frames))
+    seg = FakeSegmenter()
+    rng = np.random.RandomState(0)
+    start = trajectory.pick_start_point_sam(frames[0], flows[0], seg, rng,
+                                            interior=5)
+    assert start is not None
+    # prompts: 20 positive xy points, all on moving pixels
+    coords, labels = seg.calls[0]
+    assert coords.shape == (20, 2) and (labels == 1).all()
+    f0 = trajectory.filter_uv(flows[0])
+    for x, y in coords.astype(int):
+        assert f0[y, x, 0] != 0 or f0[y, x, 1] != 0
+    # start point lies inside the fake mask
+    mask = seg.predict_mask_labeled(frames[0], coords, labels)
+    assert mask[start[0], start[1]]
+
+    traj = trajectory.chain_trajectory_ref(flows, start)
+    assert traj is not None and len(traj) == len(flows) + 1
+    # the square moves right by ~3px/frame: column increases, row stable
+    assert traj[-1][1] > traj[0][1] + 15
+    assert abs(traj[-1][0] - traj[0][0]) < 12
+
+
+def test_chain_trajectory_ref_discards_when_untrackable():
+    flows = np.zeros((3, 40, 40, 2), np.float32)
+    assert trajectory.chain_trajectory_ref(flows, (20, 20)) is None
+
+
+def test_sample_sam_points_negative_labels():
+    flow = np.zeros((50, 60, 2), np.float32)
+    flow[10:20, 10:20] = 1.5
+    coords, labels = trajectory.sample_sam_points(
+        flow, n_pos=20, n_neg=10, rng=np.random.RandomState(1))
+    pos, neg = coords[labels == 1].astype(int), coords[labels == 0].astype(int)
+    assert len(pos) == 20 and len(neg) > 0
+    for x, y in pos:
+        assert flow[y, x].any()
+    for x, y in neg:
+        assert not flow[y, x].any()
+
+
+def test_trajectory_batch_driver(tmp_path):
+    for name, moving in [("000000", True), ("000001", False)]:
+        d = tmp_path / name
+        os.makedirs(d)
+        frames = (_moving_square_frames() if moving
+                  else [np.zeros((96, 128, 3), np.uint8)] * 14)
+        for i, f in enumerate(frames):
+            cv2.imwrite(str(d / f"im_{i}.jpg"), f, [cv2.IMWRITE_JPEG_QUALITY, 100])
+    messages = trajectory.process_dataset_traj(str(tmp_path), num_workers=2)
+    assert messages.get("Success!") == 1
+    assert sum(messages.values()) == 2
+    assert os.path.exists(tmp_path / "000000" / "traj_data.txt")
+    assert not os.path.exists(tmp_path / "000001" / "traj_data.txt")
+
+
+def test_select_frames_cli_driver(tmp_path, monkeypatch):
+    """The -m select_frames batch CLI runs over a root with injected fakes."""
+    d = _make_traj(tmp_path / "in")
+    det = FakeDetector({
+        5: [[50, 50, 20, 20], [90, 50, 20, 20]],
+        6: [[50, 50, 20, 20], [70, 50, 20, 20]],
+        7: [[50, 50, 20, 20], [95, 50, 20, 20]],
+        20: [[120, 90, 20, 20]],
+    })
+    out = str(tmp_path / "out")
+    messages = select_frames.process_dataset(str(tmp_path / "in"), out, det)
+    assert messages.get("Success!") == 1
+    assert os.path.exists(os.path.join(out, "traj", "data.txt"))

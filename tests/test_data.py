@@ -97,3 +97,37 @@ def test_flip_suppressed_for_directional_prompts(tmp_path):
     ds = bridge.VideoDataset(cfg, lambda s: np.zeros((4,), np.int32))
     assert ds._flip("move the cup to the left") is False
     assert ds._flip("move the cup onto the towel") is True
+
+
+class _IndexDataset:
+    """Minimal dataset: item carries its own index, for order tests."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"idx": np.asarray([i], np.int64)}
+
+
+def _batch_order(loader):
+    return [tuple(int(x) for x in b["idx"][:, 0]) for b in loader]
+
+
+def test_prefetch_loader_reshuffles_per_epoch_and_is_deterministic():
+    ds = _IndexDataset(32)
+    loader = bridge.PrefetchLoader(ds, batch_size=4, num_workers=3, seed=7)
+    epoch0 = _batch_order(loader)
+    epoch1 = _batch_order(loader)
+    assert len(epoch0) == len(epoch1) == 8
+    # per-epoch reshuffle (the reference torch DataLoader reshuffles each
+    # epoch; round-1 bug: identical permutation every epoch)
+    assert epoch0 != epoch1
+    # same seed => identical sequence run-to-run, independent of worker
+    # thread scheduling (reorder buffer yields in permutation order)
+    loader2 = bridge.PrefetchLoader(ds, batch_size=4, num_workers=3, seed=7)
+    assert _batch_order(loader2) == epoch0
+    loader1w = bridge.PrefetchLoader(ds, batch_size=4, num_workers=1, seed=7)
+    assert _batch_order(loader1w) == epoch0

@@ -198,3 +198,13 @@ def test_vl_pipeline_data_parallel_inference_on_mesh():
     sharded = build().place_on_mesh(make_mesh())(image, **kwargs)
     assert sharded.shape == (B, F, H, W, 3)
     np.testing.assert_allclose(sharded, ref, atol=2e-4)
+
+
+def test_add_time_ids_are_per_sample():
+    cfg = trainer.TrainConfig(process_fps=7, train_noise_aug_strength=0.1)
+    motion = jnp.asarray([120.0, 200.0, 55.0])
+    ids = trainer.make_add_time_ids(cfg, motion)
+    assert ids.shape == (3, 3)
+    np.testing.assert_allclose(np.asarray(ids[:, 1]), [120.0, 200.0, 55.0])
+    np.testing.assert_allclose(np.asarray(ids[:, 0]), 7.0)
+    np.testing.assert_allclose(np.asarray(ids[:, 2]), 0.1, rtol=1e-6)

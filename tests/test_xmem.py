@@ -335,3 +335,44 @@ def test_tracking_anything_facade():
     assert len(masks) == 2 and masks[0].dtype == np.uint8
     assert set(np.unique(masks[0])) <= {0, 7}  # remapped back to caller label
     assert painted_seq[0].shape == img.shape
+
+
+def test_kv_store_multi_group_eviction_remaps_values():
+    """remove_obsolete_features with >1 object group (the reference raises
+    NotImplementedError here, kv_memory_store.py:146-151; we implement the
+    key->value index remap via the suffix-alignment invariant)."""
+    store = KeyValueMemoryStore(count_usage=True)
+    ck, cv, hw = 4, 6, 10
+    rng = np.random.default_rng(11)
+
+    def chunk(n_obj):
+        return (rng.standard_normal((1, hw, ck), np.float32),
+                rng.standard_normal((n_obj, hw, cv), np.float32),
+                rng.random((1, hw)).astype(np.float32) + 1)
+
+    k1, v1, s1 = chunk(1)
+    store.add(k1, v1, s1, None, objects=[1])
+    k2, v2, s2 = chunk(2)
+    store.add(k2, v2, s2, None, objects=[1, 2])  # object 2 appears late
+    assert store.num_groups == 2 and store.size == 2 * hw
+
+    # make the first hw slots (where group 1 has no values) the least used
+    usage = np.concatenate([np.zeros(hw), np.ones(hw)]).astype(np.float32)
+    store.update_usage(usage)
+    store.remove_obsolete_features(max_size=hw)
+
+    assert store.size == hw
+    # group 0 keeps its values for the surviving (second-chunk) keys
+    np.testing.assert_array_equal(store.v[0], v2[[0]])
+    # group 1's values covered exactly the surviving suffix — untouched
+    np.testing.assert_array_equal(store.v[1], v2[[1]])
+    assert store.get_v_size(0) == hw and store.get_v_size(1) == hw
+    np.testing.assert_array_equal(store.k, k2)
+
+    # mixed survival inside the suffix: evict half of what's left
+    store.update_usage(np.arange(hw, dtype=np.float32))
+    store.remove_obsolete_features(max_size=hw // 2)
+    assert store.size == hw // 2
+    assert store.get_v_size(0) == hw // 2 and store.get_v_size(1) == hw // 2
+    np.testing.assert_array_equal(store.v[0], v2[[0]][:, -(hw // 2):])
+    np.testing.assert_array_equal(store.v[1], v2[[1]][:, -(hw // 2):])

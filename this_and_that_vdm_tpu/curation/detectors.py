@@ -32,6 +32,17 @@ class PointSegmenter(Protocol):
     ) -> np.ndarray: ...
 
 
+class LabeledPointSegmenter(Protocol):
+    """SAM-like with positive/negative point labels (generate_traj.py:300-304)."""
+
+    def predict_mask_labeled(
+        self,
+        image_rgb: np.ndarray,
+        points_xy: np.ndarray,
+        labels: np.ndarray,
+    ) -> np.ndarray: ...
+
+
 class UltralyticsGripperDetector:
     """YOLOv8 gripper detector (reference :384-385); needs ultralytics + weights."""
 
@@ -65,6 +76,56 @@ class SAMSegmenter:
             multimask_output=False,
         )
         return masks[0]
+
+    def predict_mask_labeled(self, image_rgb, points_xy, labels) -> np.ndarray:
+        """Positive+negative point prompt (generate_traj.py:291-304)."""
+        self.predictor.set_image(np.uint8(image_rgb))
+        masks, _scores, _ = self.predictor.predict(
+            point_coords=np.asarray(points_xy),
+            point_labels=np.asarray(labels),
+            multimask_output=False,
+        )
+        return masks[0]
+
+
+class FlowFormerFlow:
+    """Adapter for a user-vendored FlowFormer (reference scripts/
+    generate_traj.py:20-26 imports ``flowformer_code`` which is NOT in the
+    repo — the user supplies it; same contract here).  Implements the
+    untiled ``compute_flow`` path (:85-100): pad both frames to a multiple
+    of 8 (sintel-style InputPadder), one forward, unpad.
+
+    ``flow_cfg`` defaults to the reference's yacs config
+    (config/flowformer_config.get_cfg) if importable."""
+
+    def __init__(self, checkpoint: str, device: str = "cpu", flow_cfg=None):
+        import torch  # optional heavy dep, load lazily
+        from flowformer_code.FlowFormer import build_flowformer  # vendored
+
+        if flow_cfg is None:
+            from config.flowformer_config import get_cfg
+
+            flow_cfg = get_cfg()
+        self.torch = torch
+        self.device = device
+        model = torch.nn.DataParallel(build_flowformer(flow_cfg))
+        model.load_state_dict(torch.load(checkpoint, map_location="cpu"))
+        self.model = model.module.to(device).eval()
+
+    def __call__(self, prev_rgb: np.ndarray, next_rgb: np.ndarray) -> np.ndarray:
+        torch = self.torch
+        im1 = torch.from_numpy(prev_rgb).permute(2, 0, 1).float()[None]
+        im2 = torch.from_numpy(next_rgb).permute(2, 0, 1).float()[None]
+        h, w = im1.shape[-2:]
+        pad_h, pad_w = (-h) % 8, (-w) % 8
+        # sintel-mode InputPadder: split left/right, top-heavy vertical
+        pad = [pad_w // 2, pad_w - pad_w // 2, pad_h // 2, pad_h - pad_h // 2]
+        im1 = torch.nn.functional.pad(im1, pad, mode="replicate").to(self.device)
+        im2 = torch.nn.functional.pad(im2, pad, mode="replicate").to(self.device)
+        with torch.no_grad():
+            flow_pre, _ = self.model(im1, im2)
+        flow = flow_pre[0, :, pad[2]:pad[2] + h, pad[0]:pad[0] + w]
+        return flow.permute(1, 2, 0).cpu().numpy()
 
 
 def farneback_flow(prev_rgb: np.ndarray, next_rgb: np.ndarray) -> np.ndarray:

@@ -202,3 +202,37 @@ def process_dataset(input_root: str, output_root: str, detector, segmenter=None,
         if not ok:
             shutil.rmtree(os.path.join(output_root, name), ignore_errors=True)
     return messages
+
+
+def main(argv=None):
+    """Batch CLI (reference select_frame_with_this_that.py:358-431):
+    ``python -m this_and_that_vdm_tpu.curation.select_frames IN OUT
+    --yolo gripper.pt [--sam sam_vit_h.pth]``."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="This/That auto-labeler batch driver")
+    p.add_argument("input_root")
+    p.add_argument("output_root")
+    p.add_argument("--yolo", required=True, help="ultralytics gripper weights")
+    p.add_argument("--sam", default=None, help="segment-anything checkpoint")
+    p.add_argument("--sam-type", default="vit_h")
+    p.add_argument("--frames", type=int, default=14)
+    p.add_argument("--max-input-frames", type=int, default=56)
+    args = p.parse_args(argv)
+
+    from .detectors import SAMSegmenter, UltralyticsGripperDetector
+
+    detector = UltralyticsGripperDetector(args.yolo)
+    segmenter = SAMSegmenter(args.sam, args.sam_type) if args.sam else None
+    messages = process_dataset(
+        args.input_root, args.output_root, detector, segmenter,
+        total_frames_needed=args.frames,
+        max_original_input_tolerate=args.max_input_frames,
+    )
+    print(json.dumps(messages, indent=2))  # soft-failure accounting
+    return messages
+
+
+if __name__ == "__main__":
+    main()

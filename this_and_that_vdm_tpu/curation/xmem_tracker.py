@@ -244,8 +244,19 @@ class KeyValueMemoryStore:
                 self.v[gi] = cut(self.v[gi], 1)
 
     def remove_obsolete_features(self, max_size: int):
+        """Evict the lowest-usage slots down to ``max_size``.
+
+        Goes beyond the reference here: kv_memory_store.py:146-151 raises
+        NotImplementedError for >1 object group ("we need to remap the
+        indices for keys to values").  The remap is well-defined because of
+        the store's suffix invariant — group ``gi``'s values always cover
+        the LAST ``v[gi].shape[1]`` keys (every ``add`` appends values for
+        all existing groups; a new group starts at the then-current end),
+        and boolean eviction preserves key order, so masking each group
+        with the tail of ``survived`` keeps the invariant intact."""
         usage = self.get_usage()
-        drop = self.size - max_size
+        old_size = self.size
+        drop = old_size - max_size
         if drop <= 0:
             return
         threshold = np.sort(usage)[drop - 1]
@@ -253,12 +264,9 @@ class KeyValueMemoryStore:
         self.k = self.k[:, survived]
         self.s = self.s[:, survived] if self.s is not None else None
         self.e = self.e[:, survived] if self.e is not None else None
-        if self.num_groups > 1:
-            raise NotImplementedError(
-                "feature removal with multiple object groups needs key->value "
-                "index remapping (reference kv_memory_store.py:146-151)")
         for gi in range(self.num_groups):
-            self.v[gi] = self.v[gi][:, survived]
+            n_gi = self.v[gi].shape[1]
+            self.v[gi] = self.v[gi][:, survived[old_size - n_gi:]]
         self.use_count = self.use_count[survived]
         self.life_count = self.life_count[survived]
 

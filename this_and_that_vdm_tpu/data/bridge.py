@@ -247,40 +247,57 @@ class PrefetchLoader:
         self.num_workers = num_workers
         self.seed = seed
         self.drop_keys = drop_keys
+        self._epoch = 0  # bumps per __iter__ so each epoch reshuffles
 
     def __iter__(self):
-        order = np.random.RandomState(self.seed).permutation(len(self.dataset))
+        # Fresh permutation per epoch (the torch DataLoader reshuffles each
+        # epoch, train_svd.py:480-485) — seed + epoch keeps it reproducible.
+        epoch, self._epoch = self._epoch, self._epoch + 1
+        order = np.random.RandomState(self.seed + epoch).permutation(len(self.dataset))
         q: queue_mod.Queue = queue_mod.Queue(maxsize=2 * self.num_workers)
         batches = [
             order[i : i + self.batch_size]
             for i in range(0, len(order) - self.batch_size + 1, self.batch_size)
         ]
-        it = iter(batches)
+        it = iter(enumerate(batches))
         lock = threading.Lock()
         SENTINEL = object()
 
         def worker():
             while True:
                 with lock:
-                    idxs = next(it, None)
-                if idxs is None:
-                    q.put(SENTINEL)
+                    job = next(it, None)
+                if job is None:
+                    q.put((None, SENTINEL))
                     return
+                bidx, idxs = job
                 items = [self.dataset[int(i)] for i in idxs]
                 batch = {
                     k: np.stack([it_[k] for it_ in items])
                     for k in items[0]
                     if k not in self.drop_keys
                 }
-                q.put(batch)
+                q.put((bidx, batch))
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
         for t in threads:
             t.start()
+        # Reorder buffer: yield batches in permutation order so runs with the
+        # same seed see the same sequence regardless of worker scheduling.
+        pending: dict = {}
+        next_idx = 0
         done = 0
-        while done < self.num_workers:
-            item = q.get()
+        while done < self.num_workers or pending:
+            while next_idx in pending:
+                yield pending.pop(next_idx)
+                next_idx += 1
+            if done == self.num_workers and not pending:
+                break
+            bidx, item = q.get()
             if item is SENTINEL:
                 done += 1
                 continue
-            yield item
+            pending[bidx] = item
+        while next_idx in pending:
+            yield pending.pop(next_idx)
+            next_idx += 1

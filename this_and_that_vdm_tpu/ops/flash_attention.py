@@ -26,11 +26,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BLOCK_Q_CANDIDATES = (512, 256, 128)  # largest divisor wins: fewer K/V
 _SUPPORTED_HEAD_DIM = (64, 128)        # re-reads per (batch, head) program
+# VMEM guard: the fp32 [BQ, S] score tile plus exp/out temporaries must fit
+# comfortably in ~16 MB VMEM alongside K/V.  Cap BQ*S at 1M elements (4 MB
+# fp32 scores; ~3x that with temporaries) — e.g. S=4096 selects BQ<=256.
+_MAX_SCORE_ELEMS = 1 << 20
 
 
 def _block_q(s: int):
     for bq in _BLOCK_Q_CANDIDATES:
-        if s % bq == 0:
+        if s % bq == 0 and bq * s <= _MAX_SCORE_ELEMS:
             return bq
     return None
 

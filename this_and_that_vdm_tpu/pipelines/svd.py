@@ -88,18 +88,35 @@ class StableVideoDiffusionPipeline:
         cannot be recycled while cached."""
         return {}
 
+    _FN_CACHE_LIMIT = 8  # executables (+ baked weight copies) retained at most
+
     def _cached_fn(self, key, build):
         entry = self._fn_cache.get(key)
         if entry is None:
             retain = (self.unet_params, getattr(self, "controlnet_params", None))
             entry = (build(), retain if self.bake_params else None)
+            while len(self._fn_cache) >= self._FN_CACHE_LIMIT:
+                # evict oldest (dict preserves insertion order) so a process
+                # that swaps weights repeatedly can't accumulate baked trees
+                self._fn_cache.pop(next(iter(self._fn_cache)))
             self._fn_cache[key] = entry
         return entry[0]
+
+    @staticmethod
+    def _tree_identity(tree):
+        """Identity of a param tree for bake-cache keys: the root id plus the
+        first leaf's id, so in-place mutation of an existing tree (same dict,
+        new leaf arrays) is detected as well as whole-tree reassignment."""
+        if tree is None:
+            return None
+        leaves = jax.tree_util.tree_leaves(tree)
+        return (id(tree), id(leaves[0]) if leaves else None)
 
     def _bake_key(self):
         if not self.bake_params:
             return None
-        return (id(self.unet_params), id(getattr(self, "controlnet_params", None)))
+        return (self._tree_identity(self.unet_params),
+                self._tree_identity(getattr(self, "controlnet_params", None)))
 
     def _maybe_shard(self, *arrays):
         if self.mesh is None:

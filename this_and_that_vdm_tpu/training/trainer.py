@@ -119,6 +119,23 @@ def init_train_state(params, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
+def make_add_time_ids(cfg: TrainConfig, motion_bucket_id) -> jnp.ndarray:
+    """[B, 3] micro-conditioning ids: (fps, per-sample motion bucket,
+    noise_aug).  The reference builds add_time_ids per sample
+    (train_svd.py) — each clip conditions on its own flow-derived bucket,
+    so the batch must never be collapsed to a mean."""
+    motion = jnp.asarray(motion_bucket_id, jnp.float32).reshape(-1)
+    b = motion.shape[0]
+    return jnp.stack(
+        [
+            jnp.full((b,), float(cfg.process_fps)),
+            motion,
+            jnp.full((b,), cfg.train_noise_aug_strength),
+        ],
+        axis=-1,
+    )
+
+
 def _encode_conditioning_train(modules, frozen, frames, prompt_ids, use_text):
     """First frame -> CLIP states + VAE cond latents (train_svd.py:649-699,
     :722-729). frames: [B, F, H, W, 3] in [-1, 1]."""
@@ -174,15 +191,7 @@ def make_vl_train_step(
 
         inp = jnp.concatenate([inp, cond_lat], axis=-1)
 
-        motion = jnp.mean(batch["motion_bucket_id"].astype(jnp.float32))
-        add_ids = jnp.stack(
-            [
-                jnp.full((b,), float(cfg.process_fps)),
-                jnp.full((b,), 1.0) * motion,
-                jnp.full((b,), cfg.train_noise_aug_strength),
-            ],
-            axis=-1,
-        )
+        add_ids = make_add_time_ids(cfg, batch["motion_bucket_id"])
 
         pred = unet.apply(params, inp, timesteps, states, add_ids)
         loss = edm.edm_loss(pred, noisy, latents, sigmas)
@@ -260,15 +269,7 @@ def make_vgl_train_step(
         gesture_lat = modules["vae"].apply(frozen["vae"], cflat, method="encode_mode")
         gesture_lat = gesture_lat.reshape(b, f, *gesture_lat.shape[1:])
 
-        motion = jnp.mean(batch["motion_bucket_id"].astype(jnp.float32))
-        add_ids = jnp.stack(
-            [
-                jnp.full((b,), float(cfg.process_fps)),
-                jnp.full((b,), 1.0) * motion,
-                jnp.full((b,), cfg.train_noise_aug_strength),
-            ],
-            axis=-1,
-        )
+        add_ids = make_add_time_ids(cfg, batch["motion_bucket_id"])
 
         res, mid = controlnet.apply(
             cn_params, cn_inp, timesteps, states, add_ids, gesture_lat

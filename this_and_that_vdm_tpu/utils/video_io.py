@@ -45,8 +45,14 @@ def export_mp4(frames_uint8: Sequence[np.ndarray], path: str, fps: int = 4) -> s
         for f in frames:
             writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
         writer.release()
-        return path
-    writer.release()
+        # cv2 can report "opened" yet encode nothing (per-frame write failures
+        # are silent) — only trust a non-trivial output file.
+        if os.path.exists(path) and os.path.getsize(path) > 256:
+            return path
+        if os.path.exists(path):
+            os.remove(path)
+    else:
+        writer.release()
     try:
         gif = os.path.splitext(path)[0] + ".gif"
         export_gif(frames, gif, fps=fps)
