@@ -1,0 +1,104 @@
+"""Golden-fixture tests (PARITY.md 'Golden fixtures').
+
+(a) oracle drift: re-running the torch oracle at the pinned seeds must
+    reproduce the pinned outputs bit-for-bit;
+(b) flax parity vs goldens: the flax models fed the PINNED state dict via
+    weights/convert.py must match the pinned outputs — torch never runs in
+    this path, so parity holds even if torch is absent/changed.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from this_and_that_vdm_tpu.models.unet import UNetSpatioTemporalConditionModel, UNetConfig
+from this_and_that_vdm_tpu.models.controlnet import ControlNetModel, ControlNetConfig
+from this_and_that_vdm_tpu.models.vae import AutoencoderKLTemporalDecoder, VAEConfig
+from this_and_that_vdm_tpu.weights.convert import torch_state_dict_to_flax
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+def _load(name):
+    path = os.path.join(GOLDEN_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated (python tests/make_goldens.py)")
+    return np.load(path)
+
+
+def _state(g):
+    return {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+
+
+# ------------------------------------------------------------- oracle drift
+
+def test_oracle_reproduces_unet_golden():
+    import torch
+    from torch_oracle import UNetOracle
+
+    g = _load("unet_tiny.npz")
+    torch.manual_seed(0)
+    oracle = UNetOracle().eval()
+    # seeding must reproduce the pinned weights exactly (same torch build)
+    for k, v in oracle.state_dict().items():
+        np.testing.assert_array_equal(v.numpy(), g["sd." + k], err_msg=k)
+    with torch.no_grad():
+        out = oracle(torch.tensor(g["sample"]), torch.tensor(g["t"]),
+                     torch.tensor(g["ctx"]), torch.tensor(g["add_ids"])).numpy()
+    np.testing.assert_allclose(out, g["out"], atol=1e-6)
+
+
+# --------------------------------------------------- flax parity vs goldens
+
+def test_flax_unet_matches_golden():
+    g = _load("unet_tiny.npz")
+    params = torch_state_dict_to_flax(_state(g))
+    model = UNetSpatioTemporalConditionModel(UNetConfig.tiny())
+    got = model.apply(
+        params,
+        jnp.asarray(g["sample"].transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(g["t"]),
+        jnp.asarray(g["ctx"]),
+        jnp.asarray(g["add_ids"]),
+    )
+    got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+    assert np.allclose(got, g["out"], atol=5e-5), np.abs(got - g["out"]).max()
+
+
+def test_flax_controlnet_matches_golden():
+    g = _load("controlnet_tiny.npz")
+    params = torch_state_dict_to_flax(_state(g))
+    cn = ControlNetModel(ControlNetConfig.tiny())
+    res, mid = cn.apply(
+        params,
+        jnp.asarray(g["sample"].transpose(0, 1, 3, 4, 2)),
+        jnp.asarray(g["t"]),
+        jnp.asarray(g["ctx"]),
+        jnp.asarray(g["add_ids"]),
+        jnp.asarray(g["cond"].transpose(0, 1, 3, 4, 2)),
+        conditioning_scale=0.7,
+    )
+
+    def _flat(x):
+        a = np.asarray(x).transpose(0, 1, 4, 2, 3)
+        return a.reshape(-1, *a.shape[2:])
+
+    for i, r in enumerate(res):
+        want = g[f"res.{i}"]
+        assert np.allclose(_flat(r), want, atol=5e-5), i
+    assert np.allclose(_flat(mid), g["mid"], atol=5e-5)
+
+
+def test_flax_vae_matches_golden():
+    g = _load("vae_tiny.npz")
+    params = torch_state_dict_to_flax(_state(g))
+    vae = AutoencoderKLTemporalDecoder(VAEConfig.tiny())
+    lat = vae.apply(params, jnp.asarray(g["x"].transpose(0, 2, 3, 1)),
+                    method="encode_mode")
+    assert np.allclose(np.asarray(lat).transpose(0, 3, 1, 2), g["lat"], atol=5e-5)
+    zj = jnp.asarray(g["z"].transpose(0, 2, 3, 1).reshape(1, 3, 4, 6, 4))
+    dec = vae.apply(params, zj, method="decode")
+    dec = np.asarray(dec).reshape(3, 32, 48, 3).transpose(0, 3, 1, 2)
+    assert np.allclose(dec, g["dec"], atol=5e-5), np.abs(dec - g["dec"]).max()
