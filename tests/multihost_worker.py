@@ -1,0 +1,52 @@
+"""Worker for the 2-process CPU multihost smoke test (VERDICT #7).
+
+Launched twice by tests/test_multihost.py; exercises
+parallel.distributed_init + make_mesh(dcn=process_count) + a jitted
+cross-process reduction (the gradient-psum pattern of the train step).
+"""
+
+import os
+import sys
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = str(pid)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from this_and_that_vdm_tpu.parallel import (  # noqa: E402
+    distributed_init, is_main_process, make_mesh, shard_batch,
+)
+
+assert distributed_init() is True
+assert jax.process_count() == 2
+assert is_main_process() == (pid == 0)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+n_local = jax.local_device_count()
+mesh = make_mesh(dcn=2, dp=n_local, fsdp=1)
+assert mesh.axis_names == ("dcn", "dp", "fsdp")
+
+# per-process shard of a global batch; value depends on the process so the
+# reduction proves cross-DCN communication actually happened
+local = np.full((n_local, 4), float(pid + 1), np.float32)
+spec = shard_batch({"x": local}, mesh)["x"]
+x = jax.make_array_from_process_local_data(spec, local)
+
+out_sharding = NamedSharding(mesh, P())
+total = jax.jit(lambda a: a.sum(), out_shardings=out_sharding)(x)
+got = float(jax.device_get(total.addressable_data(0)))
+# proc 0 contributes 1.0 x (n_local*4) elems, proc 1 contributes 2.0 x same
+assert got == 4 * n_local * 3, (got, n_local)
+print(f"MULTIHOST_OK proc={pid} sum={got}", flush=True)

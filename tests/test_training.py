@@ -93,12 +93,15 @@ def test_vgl_train_step_runs_and_unet_frozen():
     assert np.isfinite(float(m2["loss"]))
 
 
-def test_vl_train_step_on_8dev_mesh_dp_fsdp():
+def test_vl_train_step_on_mesh_dp_fsdp():
+    """(dp,fsdp) sharded VL step — nano model + 4 devices: the GSPMD
+    semantics (batch sharding, ZeRO param sharding, grad psum) are identical
+    at any size and compile far faster on the 1-core CPU host."""
     assert jax.device_count() >= 8, "conftest should provide 8 virtual devices"
-    mesh = make_mesh(jax.devices()[:8], dp=4, fsdp=2)
+    mesh = make_mesh(jax.devices()[:4], dp=2, fsdp=2)
     key = jr.PRNGKey(0)
-    unet = UNetSpatioTemporalConditionModel(UNetConfig.tiny())
-    b = 8
+    unet = UNetSpatioTemporalConditionModel(UNetConfig.nano())
+    b = 4
     params = unet.init(key, jnp.zeros((b, F, H // 8, W // 8, 8)), jnp.array(0.0),
                        jnp.zeros((b, 5, CTX)), jnp.zeros((b, 3)))
     modules, frozen = _modules_and_frozen(jr.PRNGKey(1))
@@ -167,7 +170,7 @@ def test_vl_pipeline_data_parallel_inference_on_mesh():
     from this_and_that_vdm_tpu.parallel.mesh import make_mesh
     from this_and_that_vdm_tpu.pipelines.svd import StableVideoDiffusionPipeline
 
-    ucfg = UNetConfig.tiny()
+    ucfg = UNetConfig.nano()
     unet = UNetSpatioTemporalConditionModel(ucfg)
     vae = AutoencoderKLTemporalDecoder(VAEConfig.tiny())
     vis = CLIPVisionModelWithProjection(
@@ -175,7 +178,7 @@ def test_vl_pipeline_data_parallel_inference_on_mesh():
                          intermediate_size=64, patch_size=56, image_size=224,
                          projection_dim=ucfg.cross_attention_dim))
 
-    H, W, F, B = 64, 128, 2, 8  # latent 8x16, divisible by the 3 downsamples
+    H, W, F, B = 64, 128, 2, 8  # latent 8x16
     up = jax.jit(unet.init)(jr.PRNGKey(0), jnp.zeros((2, F, H // 8, W // 8, 8)),
                             jnp.array(0.0),
                             jnp.zeros((2, 1, ucfg.cross_attention_dim)),

@@ -67,6 +67,21 @@ class ControlNetConfig:
             projection_class_embeddings_input_dim=24,
         )
 
+    @staticmethod
+    def nano():
+        """2-block companion of UNetConfig.nano() (sharded-path tests)."""
+        return ControlNetConfig(
+            down_block_types=(
+                "CrossAttnDownBlockSpatioTemporal",
+                "DownBlockSpatioTemporal",
+            ),
+            block_out_channels=(32, 32),
+            num_attention_heads=(2, 2),
+            cross_attention_dim=48,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=24,
+        )
+
 
 class ControlNetModel(nn.Module):
     config: ControlNetConfig = ControlNetConfig()

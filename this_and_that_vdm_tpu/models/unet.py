@@ -72,6 +72,28 @@ class UNetConfig:
             projection_class_embeddings_input_dim=24,
         )
 
+    @staticmethod
+    def nano():
+        """Minimal 2-block topology for sharded-path tests, where compile/
+        trace wall-clock on the virtual CPU mesh dominates: one cross-attn
+        down block + one plain block (and the mirrored ups) still exercise
+        every layer type, skip concat, and ControlNet residual site."""
+        return UNetConfig(
+            down_block_types=(
+                "CrossAttnDownBlockSpatioTemporal",
+                "DownBlockSpatioTemporal",
+            ),
+            up_block_types=(
+                "UpBlockSpatioTemporal",
+                "CrossAttnUpBlockSpatioTemporal",
+            ),
+            block_out_channels=(32, 32),
+            num_attention_heads=(2, 2),
+            cross_attention_dim=48,
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=24,
+        )
+
 
 class UNetSpatioTemporalConditionModel(nn.Module):
     config: UNetConfig = UNetConfig()

@@ -6,6 +6,8 @@ from .mesh import (
     shard_leading,
     replicate,
     replicate_to_mesh,
+    distributed_init,
+    is_main_process,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "shard_leading",
     "replicate",
     "replicate_to_mesh",
+    "distributed_init",
+    "is_main_process",
 ]

@@ -26,15 +26,62 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    devices: Optional[Sequence] = None, dp: Optional[int] = None, fsdp: int = 1
+    devices: Optional[Sequence] = None, dp: Optional[int] = None, fsdp: int = 1,
+    dcn: int = 1,
 ) -> Mesh:
+    """(dp, fsdp) mesh, optionally with an outer ``dcn`` data axis for
+    multi-slice/multi-host runs (SURVEY.md §2.8 "DCN for multi-slice").
+
+    With ``dcn > 1`` the mesh is ('dcn', 'dp', 'fsdp') and the device order
+    keeps each slice's devices contiguous in the trailing axes, so fsdp
+    all-gathers and within-slice dp all-reduces ride ICI while only the
+    outer gradient reduction crosses DCN.  Under ``jax.distributed`` the
+    natural choice is ``dcn = jax.process_count()`` (one slice per host)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // fsdp
-    assert dp * fsdp == n, f"mesh {dp}x{fsdp} != {n} devices"
+        dp = n // (fsdp * dcn)
+    assert dp * fsdp * dcn == n, f"mesh {dcn}x{dp}x{fsdp} != {n} devices"
+    if dcn > 1:
+        arr = np.asarray(devices).reshape(dcn, dp, fsdp)
+        return Mesh(arr, ("dcn", "dp", "fsdp"))
     arr = np.asarray(devices).reshape(dp, fsdp)
     return Mesh(arr, ("dp", "fsdp"))
+
+
+def distributed_init(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host entry (the accelerate-launcher equivalent,
+    config/accelerate_config.json): call before any backend-initialising
+    JAX operation.  No-ops (returns False) when neither arguments nor the
+    standard coordinator environment variables are present, so single-host
+    runs need no flags.  Env contract (also honoured natively by
+    ``jax.distributed.initialize`` on TPU pods): ``JAX_COORDINATOR_ADDRESS``,
+    ``JAX_NUM_PROCESSES``, ``JAX_PROCESS_ID``."""
+    import os
+
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None and num_processes is None:
+        # TPU pods auto-discover via metadata; only initialize when asked
+        if os.environ.get("TTV_MULTIHOST") != "1":
+            return False
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(
+            num_processes or os.environ["JAX_NUM_PROCESSES"])
+    if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(
+            process_id if process_id is not None else os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+def is_main_process() -> bool:
+    """Rank-0 gate for IO (reference: accelerator.is_main_process)."""
+    return jax.process_index() == 0
 
 
 def _fsdp_spec(shape, fsdp_size: int) -> P:
@@ -63,9 +110,10 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Batch axis sharded over (dp, fsdp) jointly."""
+    """Batch axis sharded over all data axes jointly ((dcn,)dp,fsdp)."""
+    axes = tuple(a for a in ("dcn", "dp", "fsdp") if a in mesh.axis_names)
     return jax.tree.map(
-        lambda x: NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (np.ndim(x) - 1)))),
+        lambda x: NamedSharding(mesh, P(axes, *([None] * (np.ndim(x) - 1)))),
         batch,
     )
 

@@ -2,14 +2,24 @@
 
 The reference trains with bitsandbytes' CUDA 8-bit Adam to halve optimizer
 memory (train_code/train_svd.py:495-506, SURVEY §2.9 item 3).  TPU-native
-equivalent: both Adam moments live as int8 with per-block absmax scales
-(block = 256 elements along the flattened tensor), dequantised/requantised
-inside the (jitted) update — 4x less optimizer HBM than fp32 Adam, all
-vectorised, no Python per-tensor loops.
+equivalent: both Adam moments live as int8 codebook indices with per-block
+absmax scales (block = 256 elements along the flattened tensor),
+dequantised/requantised inside the (jitted) update — 4x less optimizer HBM
+than fp32 Adam, all vectorised, no Python per-tensor loops.
 
-Linear symmetric quantisation is used for both moments (bitsandbytes uses
-dynamic-tree quantisation; linear-absmax is a close, simpler cousin — the
-training-quality impact is comparable and it maps cleanly onto the VPU).
+Quantisation is **dynamic** (log-spaced codebook), like bitsandbytes'
+dynamic-tree maps, NOT linear absmax: the second moment spans many decades
+within one 256-element block, and under linear int8 every entry below
+absmax/254 rounds to zero, collapsing ``sqrt(nhat)+eps`` to ``eps`` and
+exploding the step (measured: a 2-layer MLP diverges within 60 steps —
+cli/adam8bit_ab.py found this in round 2).  The log codebook gives ~7
+decades of relative resolution:
+
+  * mu  (signed):  127 magnitudes ``10**linspace(-7, 0, 127)`` x sign + 0
+  * nu  (unsigned, non-negative): 255 magnitudes + 0
+
+Quantise = nearest codebook entry of x/absmax via ``searchsorted`` (8
+vectorised comparisons); dequantise = one 256-entry gather — both VPU-cheap.
 """
 
 from __future__ import annotations
@@ -18,29 +28,46 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 BLOCK = 256
+_DECADES = 7  # relative dynamic range 1e-7 .. 1 (bitsandbytes-like)
+
+
+def _make_codebook(signed: bool) -> np.ndarray:
+    mags = 10.0 ** np.linspace(-_DECADES, 0.0, 127 if signed else 255)
+    if signed:
+        cb = np.concatenate([-mags[::-1], [0.0], mags])  # 255 entries
+    else:
+        cb = np.concatenate([[0.0], mags])  # 256 entries
+    return cb.astype(np.float32)
+
+
+_CODEBOOKS = {True: _make_codebook(True), False: _make_codebook(False)}
+_BOUNDARIES = {s: (cb[:-1] + cb[1:]) / 2.0 for s, cb in _CODEBOOKS.items()}
 
 
 class _Q(NamedTuple):
-    q: jnp.ndarray  # int8 payload, padded flat [n_blocks * BLOCK]
-    scale: jnp.ndarray  # float32 [n_blocks]
+    q: jnp.ndarray  # uint8 codebook indices, padded flat [n_blocks * BLOCK]
+    scale: jnp.ndarray  # float32 per-block absmax [n_blocks]
 
 
-def _quantize(x: jnp.ndarray) -> _Q:
+def _quantize(x: jnp.ndarray, signed: bool = True) -> _Q:
     flat = x.reshape(-1).astype(jnp.float32)
     pad = (-flat.size) % BLOCK
     flat = jnp.pad(flat, (0, pad))
     blocks = flat.reshape(-1, BLOCK)
-    scale = jnp.max(jnp.abs(blocks), axis=1) / 127.0
+    scale = jnp.max(jnp.abs(blocks), axis=1)
     safe = jnp.where(scale > 0, scale, 1.0)
-    q = jnp.clip(jnp.round(blocks / safe[:, None]), -127, 127).astype(jnp.int8)
+    v = blocks / safe[:, None]
+    q = jnp.searchsorted(jnp.asarray(_BOUNDARIES[signed]), v).astype(jnp.uint8)
     return _Q(q.reshape(-1), scale)
 
 
-def _dequantize(qv: _Q, shape) -> jnp.ndarray:
-    blocks = qv.q.reshape(-1, BLOCK).astype(jnp.float32) * qv.scale[:, None]
+def _dequantize(qv: _Q, shape, signed: bool = True) -> jnp.ndarray:
+    cb = jnp.asarray(_CODEBOOKS[signed])
+    blocks = cb[qv.q.reshape(-1, BLOCK)] * qv.scale[:, None]
     n = 1
     for s in shape:
         n *= s
@@ -49,8 +76,8 @@ def _dequantize(qv: _Q, shape) -> jnp.ndarray:
 
 class Adam8bitState(NamedTuple):
     count: jnp.ndarray
-    mu: optax.Params  # pytree of _Q
-    nu: optax.Params  # pytree of _Q
+    mu: optax.Params  # pytree of _Q (signed codebook)
+    nu: optax.Params  # pytree of _Q (unsigned codebook)
 
 
 def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
@@ -62,8 +89,10 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     on a 1.5B-param tree and OOMs a 16G chip. Numerically identical."""
 
     def init(params):
-        zeros = jax.tree.map(lambda p: _quantize(jnp.zeros_like(p, jnp.float32)), params)
-        zeros2 = jax.tree.map(lambda p: _quantize(jnp.zeros_like(p, jnp.float32)), params)
+        zeros = jax.tree.map(
+            lambda p: _quantize(jnp.zeros_like(p, jnp.float32), True), params)
+        zeros2 = jax.tree.map(
+            lambda p: _quantize(jnp.zeros_like(p, jnp.float32), False), params)
         return Adam8bitState(count=jnp.zeros((), jnp.int32), mu=zeros, nu=zeros2)
 
     def update(grads, state, params=None):
@@ -71,12 +100,12 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
 
         def upd(g, mq, nq):
             g = g.astype(jnp.float32)
-            m = b1 * _dequantize(mq, g.shape) + (1 - b1) * g
-            n = b2 * _dequantize(nq, g.shape) + (1 - b2) * g * g
+            m = b1 * _dequantize(mq, g.shape, True) + (1 - b1) * g
+            n = b2 * _dequantize(nq, g.shape, False) + (1 - b2) * g * g
             mhat = m / (1 - b1 ** count.astype(jnp.float32))
             nhat = n / (1 - b2 ** count.astype(jnp.float32))
             step = mhat / (jnp.sqrt(nhat) + eps)
-            return step, _quantize(m), _quantize(n)
+            return step, _quantize(m, True), _quantize(n, False)
 
         flat_g, treedef = jax.tree.flatten(grads)
         flat_m = treedef.flatten_up_to(state.mu)

@@ -35,7 +35,14 @@ from ..models.clip import (
     CLIPVisionConfig,
 )
 from ..data import bridge
-from ..parallel import make_mesh, replicate, shard_batch, shard_params
+from ..parallel import (
+    distributed_init,
+    is_main_process,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 from ..weights import loader as weight_loader
 from . import checkpoint as ckpt
 from . import trainer
@@ -156,9 +163,22 @@ def main(argv: Optional[list] = None):
     p.add_argument("--pretrained", default=None,
                    help="dir with HF-layout subfolders (unet/, vae/, ...)")
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--dcn", type=int, default=0,
+                   help="outer DCN data axis size for multi-slice meshes; "
+                        "0 = auto (process_count when multihost, else 1)")
+    p.add_argument("--multihost", action="store_true",
+                   help="force jax.distributed.initialize() (also triggered "
+                        "by JAX_COORDINATOR_ADDRESS / TTV_MULTIHOST=1)")
     p.add_argument("--devices", type=int, default=None,
                    help="cap the mesh at the first N devices (smoke tests)")
     args = p.parse_args(argv)
+
+    # multi-host entry (accelerate-launcher equivalent): must run before the
+    # first backend-initialising call so every process sees the global mesh
+    if args.multihost:
+        os.environ.setdefault("TTV_MULTIHOST", "1")
+    multihost = distributed_init()
+    is_main = is_main_process()
 
     cfg = load_config(args.config)
     tcfg = train_config_from_yaml(cfg, args.mode)
@@ -169,7 +189,8 @@ def main(argv: Optional[list] = None):
     key = jr.PRNGKey(seed)
 
     devices = jax.devices()[: args.devices] if args.devices else None
-    mesh = make_mesh(devices=devices, fsdp=args.fsdp)
+    dcn = args.dcn or (jax.process_count() if multihost else 1)
+    mesh = make_mesh(devices=devices, fsdp=args.fsdp, dcn=dcn)
     batch_size = int(cfg.get("train_batch_size", 1)) * mesh.devices.size
     num_iters = args.max_steps or int(cfg.get("num_train_iters", 100_000))
 
@@ -245,7 +266,11 @@ def main(argv: Optional[list] = None):
     state = jax.device_put(state, shard_params(state, mesh))
     frozen = jax.device_put(frozen, replicate(frozen, mesh))
 
-    logger = MetricLogger(os.path.join(output_dir, cfg.get("logging_name", "logging")))
+    # rank-0 gating for IO (reference: accelerator.is_main_process at
+    # train_svd.py:843,879); every process still executes the sharded step
+    logger = MetricLogger(
+        os.path.join(output_dir, cfg.get("logging_name", "logging"))
+    ) if is_main else None
     ckpt_every = int(cfg.get("checkpointing_steps", 3000))
     total_limit = int(cfg.get("checkpoints_total_limit", 15))
     val_every = int(cfg.get("validation_step", 0) or 0)
@@ -296,18 +321,20 @@ def main(argv: Optional[list] = None):
                 batch = jax.device_put(batch, shard_batch(batch, mesh))
                 state, m = step_fn(state, frozen, batch, jr.fold_in(key, step))
                 step += 1
-                if step % 10 == 0 or step == 1:
+                if (step % 10 == 0 or step == 1) and logger is not None:
                     logger.log(step, loss=float(m["loss"]),
                                grad_norm=float(m["grad_norm"]))
-                if step % ckpt_every == 0:
+                if step % ckpt_every == 0 and is_main:
                     path = ckpt.save_checkpoint(output_dir, step, state, total_limit)
                     print(f"step {step}: saved {path} "
                           f"({time.perf_counter() - t0:.1f}s elapsed)")
-                if val_every and val_folder and step % val_every == 0:
+                if val_every and val_folder and step % val_every == 0 and is_main:
                     run_validation(step)
-    path = ckpt.save_checkpoint(output_dir, step, state, total_limit)
-    logger.close()
-    print(f"done at step {step}; final checkpoint {path}")
+    if is_main:
+        path = ckpt.save_checkpoint(output_dir, step, state, total_limit)
+        print(f"done at step {step}; final checkpoint {path}")
+    if logger is not None:
+        logger.close()
 
 
 if __name__ == "__main__":
