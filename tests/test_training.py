@@ -109,7 +109,9 @@ def test_vl_train_step_on_mesh_dp_fsdp():
     tx = trainer.make_optimizer(cfg)
     state = trainer.init_train_state(params, tx)
 
-    state = jax.device_put(state, shard_params(state, mesh))
+    # min_size=1: nano tensors are all below the production 2**16
+    # replication threshold; the test is about the ZeRO sharding rule
+    state = jax.device_put(state, shard_params(state, mesh, min_size=1))
     frozen = jax.device_put(frozen, replicate(frozen, mesh))
     rng = np.random.RandomState(0)
     batch = dict(

@@ -105,6 +105,81 @@ class GroupedCrossAttention(nn.Module):
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
+def _unfolded_temporal_enabled() -> bool:
+    """Layout experiment knob (read at trace time): run the temporal block
+    on [B, F, S, C] views with frame-axis einsum attention instead of the
+    materialised [B*S, F, C] fold — the fold/unfold transposes showed up as
+    part of the 10% layout/copy share in the round-1 xplane trace."""
+    import os
+
+    return os.environ.get("TTV_TEMPORAL_UNFOLDED", "0") == "1"
+
+
+class FrameAxisAttention(nn.Module):
+    """Self-attention over the FRAME axis of [B, F, S, C] without folding S
+    into batch: dot_generals carry (B, S, heads) as batch dims so XLA can
+    absorb the layout change into the matmuls.  Param layout identical to
+    ``Attention`` (to_q/to_k/to_v/to_out)."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, F, S, C]
+        b, f, s, c = x.shape
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        q = q.reshape(b, f, s, self.heads, self.dim_head)
+        k = k.reshape(b, f, s, self.heads, self.dim_head)
+        v = v.reshape(b, f, s, self.heads, self.dim_head)
+        logits = jnp.einsum(
+            "bfshd,bgshd->bshfg", q, k, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * (self.dim_head**-0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bshfg,bgshd->bfshd", probs, v)
+        out = out.reshape(b, f, s, inner)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+
+class GroupedCrossAttentionUnfolded(nn.Module):
+    """GroupedCrossAttention math on the unfolded [B, F, S, C] layout.
+
+    The reference's hw-major broadcast means folded row ``r = b*S + s``
+    consumes ``ctx[r % n]`` — here realised by computing the (cheap, 78-key)
+    cross-attention against every candidate context and one-hot selecting
+    per (b, s).  Cost n x the tiny cross-attn; only used when the static
+    batch is small (CFG pairs/triples), never in training."""
+
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ctx: jnp.ndarray) -> jnp.ndarray:
+        b, f, s, c = x.shape
+        n = ctx.shape[0]
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q = q.reshape(b, f, s, self.heads, self.dim_head)
+        k = k.reshape(n, -1, self.heads, self.dim_head)
+        v = v.reshape(n, -1, self.heads, self.dim_head)
+        logits = jnp.einsum(
+            "bfshd,nkhd->nbshfk", q, k, preferred_element_type=jnp.float32
+        ).astype(jnp.float32) * (self.dim_head**-0.5)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("nbshfk,nkhd->nbfshd", probs, v)
+        sel = (jnp.arange(b)[:, None] * s + jnp.arange(s)[None, :]) % n  # [b, s]
+        onehot = jax.nn.one_hot(sel, n, dtype=out.dtype)
+        out = jnp.einsum("nbfshd,bsn->bfshd", out, onehot)
+        return nn.Dense(c, dtype=self.dtype, name="to_out")(
+            out.reshape(b, f, s, inner))
+
+
 class TemporalBasicTransformerBlock(nn.Module):
     """Attention over the frame axis; spatial tokens folded into batch.
 
@@ -113,6 +188,10 @@ class TemporalBasicTransformerBlock(nn.Module):
     Cross-attention context comes compact as ``[B, S_kv, D]`` (first-frame
     states); row->context mapping replicates the reference's hw-major
     broadcast exactly (see GroupedCrossAttention).
+
+    With ``TTV_TEMPORAL_UNFOLDED=1`` and a small static batch, the same math
+    runs on [B, F, S, C] views (no fold/unfold transposes) — parity-tested
+    against the folded path.
     """
 
     heads: int
@@ -129,6 +208,21 @@ class TemporalBasicTransformerBlock(nn.Module):
     ) -> jnp.ndarray:
         bf, s, c = x.shape
         b = bf // num_frames
+        if _unfolded_temporal_enabled() and b <= 3:
+            h = x.reshape(b, num_frames, s, c)
+            residual = h
+            h = FeedForward(dtype=self.dtype, name="ff_in")(LayerNorm(name="norm_in")(h))
+            h = h + residual
+            h = h + FrameAxisAttention(
+                self.heads, self.dim_head, dtype=self.dtype, name="attn1"
+            )(LayerNorm(name="norm1")(h))
+            if self.cross_attention_dim is not None:
+                h = h + GroupedCrossAttentionUnfolded(
+                    self.heads, self.dim_head, dtype=self.dtype, name="attn2"
+                )(LayerNorm(name="norm2")(h), context)
+            h = h + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(h))
+            return h.reshape(bf, s, c)
+
         h = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
 
         residual = h

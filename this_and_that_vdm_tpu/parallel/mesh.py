@@ -84,13 +84,13 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
-def _fsdp_spec(shape, fsdp_size: int) -> P:
+def _fsdp_spec(shape, fsdp_size: int, min_size: int = 2**16) -> P:
     """Shard the largest axis divisible by the fsdp axis size; replicate
     small tensors (norm scales, biases) outright."""
     if fsdp_size == 1 or not shape:
         return P()
     size = int(np.prod(shape))
-    if size < 2**16:  # small tensors: replication is cheaper than gathers
+    if size < min_size:  # small tensors: replication is cheaper than gathers
         return P()
     order = sorted(range(len(shape)), key=lambda i: -shape[i])
     for i in order:
@@ -101,11 +101,16 @@ def _fsdp_spec(shape, fsdp_size: int) -> P:
     return P()
 
 
-def shard_params(params: Any, mesh: Mesh) -> Any:
-    """NamedShardings for a param/optimizer pytree under the fsdp rule."""
+def shard_params(params: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
+    """NamedShardings for a param/optimizer pytree under the fsdp rule.
+
+    ``min_size``: tensors smaller than this stay replicated (gathers cost
+    more than they save); tests shrink it to exercise sharding on tiny
+    models."""
     fsdp_size = mesh.shape["fsdp"]
     return jax.tree.map(
-        lambda x: NamedSharding(mesh, _fsdp_spec(np.shape(x), fsdp_size)), params
+        lambda x: NamedSharding(mesh, _fsdp_spec(np.shape(x), fsdp_size, min_size)),
+        params,
     )
 
 
