@@ -75,3 +75,36 @@ def test_flash_gradient_interpret():
     for g, r in ((gq, rq), (gk, rk), (gv, rv)):
         assert np.allclose(np.asarray(g), np.asarray(r), atol=3e-5), \
             np.abs(np.asarray(g) - np.asarray(r)).max()
+
+
+def test_flash_partitioning_rule_inside_sharded_program(monkeypatch):
+    """Mosaic custom calls can't be auto-partitioned; the custom_partitioning
+    rule (batch/head shard, seq/dim replicate) must let the kernel live
+    inside a pjit'd program over a mesh — the real-mesh failure mode caught
+    by the v5e:2x4 topology AOT compile in round 2.
+
+    The Mosaic body itself can't run on CPU (and interpret-mode callbacks
+    can't lower inside the partitioner), so the kernel body is swapped for
+    the XLA reference here: this validates the Shardy sharding rule, the
+    partition fn, and result assembly across shards."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    monkeypatch.setattr(
+        fa, "_flash_call", lambda q, k, v, scale: _ref(q, k, v, scale)
+    )
+    fa._make_partitioned.cache_clear()
+
+    rng = np.random.RandomState(3)
+    b, s, h, d = 4, 256, 2, 64
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    sh = NamedSharding(mesh, P("dp"))
+    q = jax.device_put(jnp.asarray(rng.randn(b, s, h, d), jnp.float32), sh)
+    k = jax.device_put(jnp.asarray(rng.randn(b, s, h, d), jnp.float32), sh)
+    v = jax.device_put(jnp.asarray(rng.randn(b, s, h, d), jnp.float32), sh)
+
+    fn = jax.jit(lambda a, bb, c: fa.flash_attention(a, bb, c, scale=d**-0.5))
+    got = fn(q, k, v)
+    fa._make_partitioned.cache_clear()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_ref(q, k, v, d**-0.5)), atol=2e-5
+    )

@@ -1,0 +1,76 @@
+"""Fused LayerNorm->matmul Pallas kernel vs XLA reference (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from this_and_that_vdm_tpu.ops import ln_matmul as lm
+
+
+def _make(r, c, n, dtype, bias, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(r, c), dtype)
+    s = jnp.asarray(1.0 + 0.1 * rng.randn(c), jnp.float32)
+    b = jnp.asarray(0.1 * rng.randn(c), jnp.float32)
+    w = jnp.asarray(rng.randn(c, n) / np.sqrt(c), dtype)
+    wb = jnp.asarray(0.1 * rng.randn(n), jnp.float32) if bias else None
+    return x, s, b, w, wb
+
+
+@pytest.mark.parametrize(
+    "r,c,n,bias",
+    [
+        (512, 128, 384, False),   # multi row/col blocks
+        (256, 320, 960, False),   # C=320: non-128-multiple lanes (level-0 qkv)
+        (272, 128, 256, True),    # bias epilogue; r not a 128 multiple
+    ],
+)
+def test_kernel_matches_reference_interpret(r, c, n, bias):
+    x, s, b, w, wb = _make(r, c, n, jnp.float32, bias)
+    with pltpu.force_tpu_interpret_mode():
+        got = lm._ln_matmul_pallas(x, s, b, w, wb, 1e-5)
+    want = lm._reference(x, s, b, w, wb, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_public_entry_fallback_matches_reference():
+    # shapes below the supports() floor route to XLA with identical math,
+    # and leading dims fold
+    x, s, b, w, wb = _make(48, 64, 128, jnp.float32, True)
+    got = lm.ln_matmul(x.reshape(4, 12, 64), s, b, w, wb)
+    want = lm._reference(x, s, b, w, wb, 1e-5).reshape(4, 12, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_gradients_match_reference():
+    # custom_vjp backward (XLA-math recompute) vs direct grad of reference
+    x, s, b, w, wb = _make(64, 64, 128, jnp.float32, True, seed=3)
+
+    def loss_fused(x, s, b, w, wb):
+        return jnp.sum(jnp.sin(lm.ln_matmul(x, s, b, w, wb)))
+
+    def loss_ref(x, s, b, w, wb):
+        return jnp.sum(jnp.sin(lm._reference(x, s, b, w, wb, 1e-5)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, s, b, w, wb)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, s, b, w, wb)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=1e-5)
+
+
+def test_supports_gating():
+    on_tpu = jax.default_backend() == "tpu"
+    assert lm.supports(43008, 1280, 3840, jnp.bfloat16) == (on_tpu and lm.enabled())
+    assert not lm.supports(48, 1280, 3840, jnp.bfloat16)   # r floor
+    assert not lm.supports(43008, 1000, 3840, jnp.bfloat16)  # c % 64
+    assert not lm.supports(43008, 4096, 3840, jnp.bfloat16)  # c cap
+
+
+def test_block_picker():
+    assert lm._pick_block(43008, 512, 16) == 512
+    assert 2688 % lm._pick_block(2688, 512, 16) == 0
+    assert lm._pick_block(960, 512, 128) == 960  # no 128-multiple divisor fits
+    assert lm._pick_block(3840, 768, 128) == 768

@@ -34,22 +34,27 @@ def _abstract_like(tree, shardings):
 def vl_step_memory_analysis(fsdp: int, n_devices: int = 8,
                             batch_per_device: int = 1,
                             frames: int = 14, height: int = 256, width: int = 384,
-                            tiny: bool = False) -> dict:
+                            tiny: bool = False, topology: str = "") -> dict:
     """Compile (AOT, abstract inputs) the sharded VL step; return memory stats.
 
-    Must run in a fresh process before any backend init (forces the CPU
-    platform with ``n_devices`` virtual devices)."""
+    ``topology`` (e.g. ``"v5e:2x4"``): compile against a real TPU topology
+    description (jax.experimental.topologies) — per-chip numbers with the
+    actual TPU backend's scheduling/rematerialisation, no chips needed.
+    Empty: virtual CPU devices (must then run in a fresh process before any
+    backend init; CPU scheduling over-reports temps, see PERF.md).
+    """
     import jax
 
-    try:
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", n_devices)
-    except RuntimeError:
-        pass
+    if not topology:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", n_devices)
+        except RuntimeError:
+            pass
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/ttv_jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if jax.device_count() < n_devices:
+    if not topology and jax.device_count() < n_devices:
         raise RuntimeError("backend initialised before the CPU override; "
                            "run in a fresh process")
 
@@ -90,7 +95,16 @@ def vl_step_memory_analysis(fsdp: int, n_devices: int = 8,
         text_encoder=CLIPTextModel(txt_cfg),
     )
 
-    mesh = make_mesh(jax.devices()[:n_devices], dp=n_devices // fsdp, fsdp=fsdp)
+    if topology:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu", topology_name=topology)
+        topo_devices = list(topo.devices)
+        if len(topo_devices) < n_devices:
+            raise RuntimeError(f"topology {topology} has {len(topo_devices)} devices")
+        mesh = make_mesh(topo_devices[:n_devices], dp=n_devices // fsdp, fsdp=fsdp)
+    else:
+        mesh = make_mesh(jax.devices()[:n_devices], dp=n_devices // fsdp, fsdp=fsdp)
     cfg = trainer.TrainConfig(learning_rate=1e-5, lr_warmup_steps=0)
     tx = trainer.make_optimizer(cfg)
 
@@ -136,6 +150,7 @@ def vl_step_memory_analysis(fsdp: int, n_devices: int = 8,
     )
     gib = 1024**3
     out = dict(
+        backend=topology or "cpu-virtual",
         fsdp=fsdp, dp=n_devices // fsdp, n_devices=n_devices,
         batch=B, frames=F, resolution=f"{H}x{W}",
         unet_params=n_params,
@@ -158,6 +173,9 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=14)
     p.add_argument("--height", type=int, default=256)
     p.add_argument("--width", type=int, default=384)
+    p.add_argument("--topology", default="",
+                   help="TPU topology description, e.g. v5e:2x4 (per-chip "
+                        "numbers with real TPU scheduling; no chips needed)")
     args = p.parse_args(argv)
 
     results = []
@@ -170,7 +188,8 @@ def main(argv=None):
             cmd = [sys.executable, "-m", "this_and_that_vdm_tpu.cli.aot_memory",
                    "--fsdp", str(fsdp), "--devices", str(args.devices),
                    "--frames", str(args.frames), "--height", str(args.height),
-                   "--width", str(args.width)] + (["--tiny"] if args.tiny else [])
+                   "--width", str(args.width)] + (["--tiny"] if args.tiny else []) \
+                  + (["--topology", args.topology] if args.topology else [])
             out = subprocess.run(cmd, capture_output=True, text=True)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")]
             if not line:
@@ -181,7 +200,7 @@ def main(argv=None):
         else:
             r = vl_step_memory_analysis(
                 fsdp, args.devices, tiny=args.tiny, frames=args.frames,
-                height=args.height, width=args.width)
+                height=args.height, width=args.width, topology=args.topology)
             results.append(r)
             print(json.dumps(r))
     return results

@@ -190,12 +190,63 @@ class LayerNorm(nn.Module):
         return layer_norm_fp32(x, scale, bias, self.eps)
 
 
+class _DenseParams(nn.Module):
+    """Declares an ``nn.Dense``-compatible param subtree (same names, shapes,
+    initialisers, fp32 storage) and returns the leaves instead of applying
+    them — lets callers fuse the matmul (ops/ln_matmul.py) while keeping the
+    checkpoint layout bit-identical."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_dim, self.features),
+            jnp.float32,
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _LNParams(nn.Module):
+    """``LayerNorm``-compatible param subtree, returned instead of applied."""
+
+    @nn.compact
+    def __call__(self, c: int):
+        s = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return s, b
+
+
+def dense_apply(x, kernel, bias, dtype):
+    """``nn.Dense`` application semantics on explicit ``_DenseParams`` leaves.
+
+    No ``preferred_element_type`` override: the TPU MXU accumulates bf16
+    matmuls in fp32 internally and emits the requested dtype directly —
+    forcing an fp32 *output* doubles the projection's HBM write traffic
+    (measured −19%/step end to end in the round-2 fusion study, PERF.md)."""
+    y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
 class Attention(nn.Module):
     """Multi-head attention (diffusers ``Attention`` with AttnProcessor2_0).
 
     q/k/v projections have no bias, output projection has bias; softmax in
     fp32. ``context`` enables cross-attention (kv projected from
     ``cross_attention_dim``-sized states).
+
+    ``ln``: optional ``(scale, bias)`` of the preceding LayerNorm — when
+    given, ``x`` arrives UN-normalised and the norm is fused into the q (and,
+    for self-attention, combined qkv) projection via ``ops.ln_matmul`` so the
+    normalised tensor never round-trips HBM.  Param tree is unchanged.
     """
 
     heads: int
@@ -205,15 +256,38 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        ln: Optional[tuple] = None,
     ) -> jnp.ndarray:
+        from ..ops.ln_matmul import ln_matmul
+
         inner = self.heads * self.dim_head
         out_dim = x.shape[-1]
         ctx = x if context is None else context
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if ln is not None and context is None:
+            # opt-in fused path (TTV_FUSED_LN=1): LN + combined qkv gemm.
+            # Measured SLOWER than XLA's separate-gemm pattern end to end
+            # (PERF.md round-2 study) — kept for study/tuning, not default.
+            qk, _ = _DenseParams(inner, use_bias=False, name="to_q")(x.shape[-1])
+            kk, _ = _DenseParams(inner, use_bias=False, name="to_k")(ctx.shape[-1])
+            vk, _ = _DenseParams(inner, use_bias=False, name="to_v")(ctx.shape[-1])
+            qkv = ln_matmul(
+                x.astype(self.dtype), ln[0], ln[1],
+                jnp.concatenate([qk, kk, vk], axis=1),
+            )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif ln is not None:
+            qk, _ = _DenseParams(inner, use_bias=False, name="to_q")(x.shape[-1])
+            q = ln_matmul(x.astype(self.dtype), ln[0], ln[1], qk)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
         b, s, _ = q.shape
         skv = k.shape[1]
@@ -227,17 +301,26 @@ class Attention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU feed-forward: Linear(d, 2*i) -> x * gelu(gate) -> Linear(i, out)."""
+    """GEGLU feed-forward: Linear(d, 2*i) -> x * gelu(gate) -> Linear(i, out).
+
+    ``ln``: optional ``(scale, bias)`` of the preceding LayerNorm, fused into
+    the first projection via ``ops.ln_matmul`` (x arrives un-normalised)."""
 
     dim_out: Optional[int] = None
     mult: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ln: Optional[tuple] = None) -> jnp.ndarray:
+        from ..ops.ln_matmul import ln_matmul
+
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        if ln is not None:
+            pk, pb = _DenseParams(inner * 2, use_bias=True, name="proj")(dim)
+            h = ln_matmul(x.astype(self.dtype), ln[0], ln[1], pk, pb)
+        else:
+            h = nn.Dense(inner * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         h = h * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(h.dtype)
         return nn.Dense(self.dim_out or dim, dtype=self.dtype, name="proj_out")(h)

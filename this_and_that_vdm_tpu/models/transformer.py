@@ -32,6 +32,8 @@ from .layers import (
     AlphaBlender,
     TimestepEmbedding,
     sinusoidal_embedding,
+    _DenseParams,
+    _LNParams,
 )
 
 Dtype = Any
@@ -47,20 +49,35 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        h = Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
-            LayerNorm(name="norm1")(x)
-        )
+        from ..ops.ln_matmul import enabled as fused_ln
+
+        c = x.shape[-1]
+        if fused_ln():
+            h = Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+                x, ln=_LNParams(name="norm1")(c)
+            )
+        else:
+            h = Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
+                LayerNorm(name="norm1")(x)
+            )
         x = x + h
         if self.cross_attention_dim is not None:
-            h = Attention(
+            attn2 = Attention(
                 self.heads,
                 self.dim_head,
                 cross_attention_dim=self.cross_attention_dim,
                 dtype=self.dtype,
                 name="attn2",
-            )(LayerNorm(name="norm2")(x), context)
+            )
+            if fused_ln():
+                h = attn2(x, context, ln=_LNParams(name="norm2")(c))
+            else:
+                h = attn2(LayerNorm(name="norm2")(x), context)
             x = x + h
-        h = FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
+        if fused_ln():
+            h = FeedForward(dtype=self.dtype, name="ff")(x, ln=_LNParams(name="norm3")(c))
+        else:
+            h = FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(x))
         return x + h
 
 
@@ -81,13 +98,21 @@ class GroupedCrossAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x_rows: jnp.ndarray, ctx: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x_rows: jnp.ndarray, ctx: jnp.ndarray, ln: Optional[tuple] = None
+    ) -> jnp.ndarray:
+        from ..ops.ln_matmul import ln_matmul
+
         # x_rows: [R, F, C] (row r attends ctx[r % n]);  ctx: [n, S_kv, D]
         r, f, c = x_rows.shape
         n = ctx.shape[0]
         inner = self.heads * self.dim_head
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_rows)
+        if ln is not None:
+            qkern, _ = _DenseParams(inner, use_bias=False, name="to_q")(c)
+            q = ln_matmul(x_rows.astype(self.dtype), ln[0], ln[1], qkern)
+        else:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_rows)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
@@ -223,20 +248,34 @@ class TemporalBasicTransformerBlock(nn.Module):
             h = h + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(h))
             return h.reshape(bf, s, c)
 
+        from ..ops.ln_matmul import enabled as fused_ln
+
         h = x.reshape(b, num_frames, s, c).transpose(0, 2, 1, 3).reshape(b * s, num_frames, c)
 
         residual = h
-        h = FeedForward(dtype=self.dtype, name="ff_in")(LayerNorm(name="norm_in")(h))
+        if fused_ln():
+            h = FeedForward(dtype=self.dtype, name="ff_in")(h, ln=_LNParams(name="norm_in")(c))
+        else:
+            h = FeedForward(dtype=self.dtype, name="ff_in")(LayerNorm(name="norm_in")(h))
         h = h + residual  # is_res: dim == time_mix_inner_dim
 
-        h = h + Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")(
-            LayerNorm(name="norm1")(h)
-        )
+        attn1 = Attention(self.heads, self.dim_head, dtype=self.dtype, name="attn1")
+        if fused_ln():
+            h = h + attn1(h, ln=_LNParams(name="norm1")(c))
+        else:
+            h = h + attn1(LayerNorm(name="norm1")(h))
         if self.cross_attention_dim is not None:
-            h = h + GroupedCrossAttention(
+            attn2 = GroupedCrossAttention(
                 self.heads, self.dim_head, dtype=self.dtype, name="attn2"
-            )(LayerNorm(name="norm2")(h), context)
-        h = h + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(h))
+            )
+            if fused_ln():
+                h = h + attn2(h, context, ln=_LNParams(name="norm2")(c))
+            else:
+                h = h + attn2(LayerNorm(name="norm2")(h), context)
+        if fused_ln():
+            h = h + FeedForward(dtype=self.dtype, name="ff")(h, ln=_LNParams(name="norm3")(c))
+        else:
+            h = h + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(h))
 
         return h.reshape(b, s, num_frames, c).transpose(0, 2, 1, 3).reshape(bf, s, c)
 

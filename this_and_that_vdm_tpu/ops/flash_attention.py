@@ -90,11 +90,11 @@ def flash_attention(q, k, v, scale: float):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale):
-    return _flash_call(q, k, v, scale=scale)
+    return _flash_partitioned(q, k, v, scale)
 
 
 def _flash_fwd(q, k, v, scale):
-    return _flash_call(q, k, v, scale=scale), (q, k, v)
+    return _flash_partitioned(q, k, v, scale), (q, k, v)
 
 
 def _flash_bwd(scale, res, g):
@@ -106,6 +106,60 @@ def _flash_bwd(scale, res, g):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+# --------------------------------------------------------------------------
+# GSPMD/Shardy partitioning: a Mosaic custom call cannot be automatically
+# partitioned, so inside a sharded program (the (dp,fsdp) training mesh, the
+# ('clip','cfg') serving mesh, multi-host) the kernel must declare its own
+# rule: batch and head axes shard freely (programs are independent per
+# (batch, head)), sequence and head_dim stay replicated.  Without this the
+# sharded step fails to compile on real TPU meshes ("Mosaic kernels cannot
+# be automatically partitioned") — caught by the v5e:2x4 topology AOT run.
+# --------------------------------------------------------------------------
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _bh_only_spec(sharding, rank=4):
+    """Keep batch (0) / heads (2) placement, replicate seq (1) and dim (3)."""
+    spec = getattr(sharding, "spec", None)
+    if spec is None:
+        return P()
+    spec = tuple(spec) + (None,) * (rank - len(tuple(spec)))
+    return P(spec[0], None, spec[2], None)
+
+
+def _cp_infer(mesh, arg_shapes, result_shape):
+    return NamedSharding(mesh, _bh_only_spec(arg_shapes[0].sharding))
+
+
+def _cp_partition(scale, mesh, arg_shapes, result_shape):
+    spec = _bh_only_spec(arg_shapes[0].sharding)
+    sharding = NamedSharding(mesh, spec)
+
+    def lower_fn(q, k, v):
+        return _flash_call(q, k, v, scale=scale)
+
+    return mesh, lower_fn, sharding, (sharding,) * 3
+
+
+@functools.lru_cache(maxsize=None)
+def _make_partitioned(scale: float):
+    fn = custom_partitioning(lambda q, k, v: _flash_call(q, k, v, scale=scale))
+    fn.def_partition(
+        partition=functools.partial(_cp_partition, scale),
+        infer_sharding_from_operands=_cp_infer,
+        # Shardy rule: batch/head factors shard; seq + head_dim replicate.
+        sharding_rule="b q h d, b k h d, b k h d -> b q h d",
+        # factor-index sorted order (Shardy verifier requirement)
+        need_replication_factors=("q", "d", "k"),
+    )
+    return fn
+
+
+def _flash_partitioned(q, k, v, scale: float):
+    return _make_partitioned(scale)(q, k, v)
 
 
 @functools.partial(jax.jit, static_argnames=("scale",))

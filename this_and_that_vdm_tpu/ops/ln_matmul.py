@@ -1,0 +1,178 @@
+"""Fused LayerNorm -> matmul Pallas kernel (the round-2 pointwise lever).
+
+Every transformer sub-block in the denoiser is an ``LN(x) @ W`` chain
+(reference: diffusers BasicTransformerBlock / TemporalBasicTransformerBlock
+composed by svd/diffusion_arch/transformer_temporal.py:276-376).  XLA
+materialises the normalised tensor to HBM between the norm fusion and the
+gemm — on a step that is memory-bound on pointwise traffic (PERF.md: 35%
+elementwise + 10% convert/reduce), that write+read is pure overhead.
+
+This kernel keeps the LN in VMEM: per row-block, fp32 statistics + affine
+are computed once (on the first column-block visit, cached in a VMEM
+scratch) and the normalised block feeds the MXU directly.  The weight can
+be a *combined* projection (e.g. ``[C, 3C]`` for fused QKV) so the
+activation is read once for all heads' projections instead of three times.
+
+Numerics: stats in fp32, normalised activations cast to the input dtype
+(bf16 in serving/training), matmul accumulates fp32 via
+``preferred_element_type`` — identical to ``layer_norm_fp32`` + ``nn.Dense``
+within bf16 rounding of the cached normalised tensor.
+
+Backward runs through the XLA reference math (custom_vjp), like the fused
+GroupNorm kernel — the implied forward recompute is what remat would do.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_W_BLOCK_BYTES = 2 * 2**20
+_MAX_R_BLOCK = 512
+
+
+def enabled() -> bool:
+    """Trace-time knob; default OFF.  Measured on 1x v5e (25-step full UNet
+    scan, CFG batch 2): baseline separate-gemm XLA path 7.42 steps/s; this
+    kernel fused at every LN->matmul site 6.13-6.29 steps/s; the XLA
+    combined-qkv fallback 6.22 steps/s — the LN->gemm sites are MXU-bound at
+    C>=640 (fusing the norm saves no time; a hand kernel loses to XLA's gemm
+    scheduling) and lane-padded at C=320.  Kept opt-in (TTV_FUSED_LN=1) as a
+    tuning vehicle; full study in PERF.md."""
+    return os.environ.get("TTV_FUSED_LN", "0") == "1"
+
+
+def _pick_block(total: int, cap: int, quantum: int) -> int:
+    """Largest divisor of ``total`` that is <= cap and a multiple of
+    ``quantum`` (falls back to ``total`` itself if none)."""
+    best = 0
+    for d in range(quantum, min(cap, total) + 1, quantum):
+        if total % d == 0:
+            best = d
+    return best if best else total
+
+
+def supports(r: int, c: int, n: int, dtype) -> bool:
+    if not enabled():
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    if c % 128 or c > 2048:  # contraction held whole in VMEM; C=320 levels
+        return False         # measured slower fused (lane padding) — excluded
+    if r < 256 or r % 16:
+        return False
+    return True
+
+
+def _kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, o_ref, xn_ref, *, eps):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[:].astype(jnp.float32)  # [BR, C]
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        xc = x - mean
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        xn = xc * jax.lax.rsqrt(var + eps) * s_ref[:] + b_ref[:]
+        xn_ref[:] = xn.astype(xn_ref.dtype)
+
+    acc = jnp.dot(xn_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = (acc + wb_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _ln_matmul_pallas(x, scale, bias, w, wb, eps: float):
+    r, c = x.shape
+    n = w.shape[1]
+    br = _pick_block(r, _MAX_R_BLOCK, 16)
+    bn = _pick_block(n, max(128, _MAX_W_BLOCK_BYTES // (c * x.dtype.itemsize)), 128)
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((r, n), x.dtype),
+        grid=(r // br, n // bn),
+        in_specs=[
+            pl.BlockSpec((br, c), lambda i, j: (i, 0)),  # resident across j
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((c, bn), lambda i, j: (0, j)),  # streams over j
+            pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((br, bn), lambda i, j: (i, j)),
+        scratch_shapes=[pltpu.VMEM((br, c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(
+        x,
+        scale.reshape(1, c).astype(jnp.float32),
+        bias.reshape(1, c).astype(jnp.float32),
+        w.astype(x.dtype),
+        (jnp.zeros((1, n), jnp.float32) if wb is None
+         else wb.reshape(1, n).astype(jnp.float32)),
+    )
+
+
+def _reference(x, scale, bias, w, wb, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    xn = xn.astype(x.dtype)
+    # no fp32 preferred_element_type on the output: the MXU accumulates in
+    # fp32 internally; an fp32 output doubles HBM write traffic (measured)
+    out = jnp.dot(xn, w.astype(x.dtype))
+    if wb is not None:
+        out = out + wb.astype(x.dtype)
+    return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _ln_matmul(x, scale, bias, w, wb, eps):
+    return _ln_matmul_pallas(x, scale, bias, w, wb, eps)
+
+
+def _fwd(x, scale, bias, w, wb, eps):
+    return _ln_matmul(x, scale, bias, w, wb, eps), (x, scale, bias, w, wb)
+
+
+def _bwd(eps, res, g):
+    x, scale, bias, w, wb = res
+    if wb is None:
+        _, vjp = jax.vjp(
+            lambda a, s, b, ww: _reference(a, s, b, ww, None, eps), x, scale, bias, w
+        )
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(
+        lambda a, s, b, ww, bb: _reference(a, s, b, ww, bb, eps), x, scale, bias, w, wb
+    )
+    return vjp(g)
+
+
+_ln_matmul.defvjp(_fwd, _bwd)
+
+
+def ln_matmul(x, scale, bias, w, wb=None, eps: float = 1e-5):
+    """``layer_norm_fp32(x, scale, bias) @ w (+ wb)`` with the normalised
+    tensor never leaving VMEM (Pallas on TPU when shapes qualify; XLA
+    fallback with identical math).
+
+    x: [..., C] (leading dims folded), w: [C, N] -> [..., N].
+    """
+    c = x.shape[-1]
+    n = w.shape[1]
+    lead = x.shape[:-1]
+    r = 1
+    for d in lead:
+        r *= d
+    if supports(r, c, n, x.dtype):
+        out = _ln_matmul(x.reshape(r, c), scale, bias, w, wb, eps)
+        return out.reshape(*lead, n)
+    return _reference(x.reshape(r, c), scale, bias, w, wb, eps).reshape(*lead, n)
