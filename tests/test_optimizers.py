@@ -79,3 +79,55 @@ def test_adamw8bit_converges_on_mlp_ab():
     assert np.isfinite(q8)
     assert q8 < curves["adamw8bit"][0][1] * 0.1, "q8 failed to converge"
     assert q8 < fp32 * 3 + 1e-3, (q8, fp32)
+
+
+def test_closed_form_index_matches_searchsorted():
+    """The closed-form log-index quantiser (round-2 fix: jnp.searchsorted
+    inside the fused VGL train step faulted the TPU worker) must agree with
+    the reference searchsorted-over-midpoints formulation, modulo off-by-one
+    at exact float midpoint boundaries."""
+    from this_and_that_vdm_tpu.training.optimizers import (
+        _CODEBOOKS, _N_MAGS, _log_index)
+
+    rng = np.random.RandomState(7)
+    for signed in (True, False):
+        cb = _CODEBOOKS[signed]
+        bounds = (cb[:-1] + cb[1:]) / 2.0
+        v = np.concatenate([
+            rng.randn(20000) * 10.0 ** rng.uniform(-9, 0, 20000),
+            [0.0, 1.0, -1.0, 1e-7, -1e-7, 5e-8, 4.9e-8, 1e-30], cb,
+        ]).astype(np.float32)
+        v = np.clip(v, -1, 1)
+        if not signed:
+            v = np.abs(v)
+        ref = np.searchsorted(bounds, v)
+        j, zero = _log_index(jnp.abs(jnp.asarray(v)), _N_MAGS[signed])
+        j, zero = np.asarray(j), np.asarray(zero)
+        if signed:
+            got = np.where(zero, 127, np.where(v >= 0, 128 + j, 126 - j))
+        else:
+            got = np.where(zero, 0, 1 + j)
+        assert np.abs(got - ref).max() <= 1
+        # mismatches only at midpoints: either neighbour is equally good
+        mism = got != ref
+        assert mism.mean() < 0.005
+
+
+def test_closed_form_dequant_matches_codebook_table():
+    """Dequantise must reproduce the codebook table (gather-free closed form
+    — round-2 perf fix: the 256-entry gather cost ~90x the whole update)."""
+    from this_and_that_vdm_tpu.training.optimizers import (
+        _CODEBOOKS, _Q, _dequantize, BLOCK)
+
+    for signed in (True, False):
+        cb = _CODEBOOKS[signed]
+        idx = np.arange(256, dtype=np.uint8)  # 255 is out-of-codebook for signed
+        if signed:
+            idx = idx[:255]
+        q = np.tile(idx, (BLOCK // idx.size + 2))[:BLOCK]
+        qv = _Q(q=jnp.asarray(q), scale=jnp.ones((1,), jnp.float32))
+        got = np.asarray(_dequantize(qv, (BLOCK,), signed))
+        want = cb[q]
+        # fp32 exp2 vs the float64-built table: <=5e-6 relative — noise
+        # against the ~13% spacing between adjacent codebook entries
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=0)

@@ -30,7 +30,7 @@ def _write_cfg(tmp_path, **over):
 
 def test_vl_train_loop_smoke_and_resume(tmp_path):
     cfgp = _write_cfg(tmp_path)
-    train_loop.main(["--config", cfgp, "--mode", "vl", "--tiny", "--synthetic", "4", "--devices", "1"])
+    train_loop.main(["--config", cfgp, "--mode", "vl", "--nano", "--synthetic", "4", "--devices", "1"])
     out = str(tmp_path / "out")
     # 3 steps, ckpt at 2 and final at 3; limit 2
     names = sorted(os.listdir(out))
@@ -43,13 +43,13 @@ def test_vl_train_loop_smoke_and_resume(tmp_path):
 
     # resume: bump iters, latest picked up
     cfgp2 = _write_cfg(tmp_path, num_train_iters=4, resume_from_checkpoint="latest")
-    train_loop.main(["--config", cfgp2, "--mode", "vl", "--tiny", "--synthetic", "4", "--devices", "1"])
+    train_loop.main(["--config", cfgp2, "--mode", "vl", "--nano", "--synthetic", "4", "--devices", "1"])
     assert "checkpoint-4" in os.listdir(out)
 
 
 def test_vgl_train_loop_smoke(tmp_path):
     cfgp = _write_cfg(tmp_path, num_train_iters=1, checkpointing_steps=10)
-    train_loop.main(["--config", cfgp, "--mode", "vgl", "--tiny", "--synthetic", "2", "--devices", "1"])
+    train_loop.main(["--config", cfgp, "--mode", "vgl", "--nano", "--synthetic", "2", "--devices", "1"])
     assert "checkpoint-1" in os.listdir(str(tmp_path / "out"))
 
 

@@ -49,7 +49,7 @@ def _batch(rng):
 
 def test_vl_train_step_decreases_on_repeat():
     key = jr.PRNGKey(0)
-    unet = UNetSpatioTemporalConditionModel(UNetConfig.tiny())
+    unet = UNetSpatioTemporalConditionModel(UNetConfig.nano())
     params = unet.init(key, jnp.zeros((B, F, H // 8, W // 8, 8)), jnp.array(0.0),
                        jnp.zeros((B, 5, CTX)), jnp.zeros((B, 3)))
     modules, frozen = _modules_and_frozen(jr.PRNGKey(1))
@@ -70,8 +70,8 @@ def test_vl_train_step_decreases_on_repeat():
 
 def test_vgl_train_step_runs_and_unet_frozen():
     key = jr.PRNGKey(0)
-    unet = UNetSpatioTemporalConditionModel(UNetConfig.tiny())
-    cn = ControlNetModel(ControlNetConfig.tiny())
+    unet = UNetSpatioTemporalConditionModel(UNetConfig.nano())
+    cn = ControlNetModel(ControlNetConfig.nano())
     uparams = unet.init(key, jnp.zeros((B, F, H // 8, W // 8, 8)), jnp.array(0.0),
                         jnp.zeros((B, 5, CTX)), jnp.zeros((B, 3)))
     cparams = cn.init(key, jnp.zeros((B, F, H // 8, W // 8, 8)), jnp.array(0.0),
@@ -134,8 +134,8 @@ def test_vl_train_step_on_mesh_dp_fsdp():
 
 def test_vgl_masked_conditioning_and_8bit_adam():
     key = jr.PRNGKey(0)
-    unet = UNetSpatioTemporalConditionModel(UNetConfig.tiny())
-    cn = ControlNetModel(ControlNetConfig.tiny())
+    unet = UNetSpatioTemporalConditionModel(UNetConfig.nano())
+    cn = ControlNetModel(ControlNetConfig.nano())
     uparams = unet.init(key, jnp.zeros((B, F, H // 8, W // 8, 8)), jnp.array(0.0),
                         jnp.zeros((B, 5, CTX)), jnp.zeros((B, 3)))
     cparams = cn.init(key, jnp.zeros((B, F, H // 8, W // 8, 8)), jnp.array(0.0),

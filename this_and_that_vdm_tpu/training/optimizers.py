@@ -18,8 +18,15 @@ decades of relative resolution:
   * mu  (signed):  127 magnitudes ``10**linspace(-7, 0, 127)`` x sign + 0
   * nu  (unsigned, non-negative): 255 magnitudes + 0
 
-Quantise = nearest codebook entry of x/absmax via ``searchsorted`` (8
-vectorised comparisons); dequantise = one 256-entry gather — both VPU-cheap.
+Quantise = nearest codebook entry of x/absmax, computed in **closed form**:
+the codebook is exactly log-spaced (constant ratio r between entries), so the
+nearest-by-midpoint index is ``floor(log10(|v| / (mid * 1e-7)) / step) + 1``
+with ``mid = (1+r)/2`` — one log and a handful of VPU ops per element.
+Dequantise = one 256-entry gather.  (Round 2 note: the original
+``jnp.searchsorted`` formulation, while numerically identical and fine in
+isolation, reproducibly faulted the TPU worker when fused into the full
+VGL train step — bisected to this file; the closed form avoids the op
+entirely and is cheaper anyway.)
 """
 
 from __future__ import annotations
@@ -45,12 +52,29 @@ def _make_codebook(signed: bool) -> np.ndarray:
 
 
 _CODEBOOKS = {True: _make_codebook(True), False: _make_codebook(False)}
-_BOUNDARIES = {s: (cb[:-1] + cb[1:]) / 2.0 for s, cb in _CODEBOOKS.items()}
+_N_MAGS = {True: 127, False: 255}
 
 
 class _Q(NamedTuple):
     q: jnp.ndarray  # uint8 codebook indices, padded flat [n_blocks * BLOCK]
     scale: jnp.ndarray  # float32 per-block absmax [n_blocks]
+
+
+def _log_index(a: jnp.ndarray, n_mags: int):
+    """Nearest-magnitude codebook index of ``a`` (non-negative, <= 1).
+
+    Magnitudes are ``10**(-D + D*j/(n-1))``; with constant ratio
+    ``r = 10**(D/(n-1))`` the linear midpoint between entries j and j+1 is
+    ``mags[j]*(1+r)/2``, so the count of midpoints below ``a`` — the nearest
+    index — is closed-form.  Returns (index in [0, n_mags-1], is_zero mask
+    for the below-smallest-midpoint bucket).
+    """
+    step = _DECADES / (n_mags - 1)
+    mid = (1.0 + 10.0 ** step) / 2.0
+    lo = 10.0 ** (-_DECADES)
+    j = jnp.floor(jnp.log10(jnp.maximum(a, lo * 1e-6) / (mid * lo)) / step) + 1.0
+    j = jnp.clip(j, 0.0, n_mags - 1).astype(jnp.int32)
+    return j, a < lo / 2.0
 
 
 def _quantize(x: jnp.ndarray, signed: bool = True) -> _Q:
@@ -61,13 +85,36 @@ def _quantize(x: jnp.ndarray, signed: bool = True) -> _Q:
     scale = jnp.max(jnp.abs(blocks), axis=1)
     safe = jnp.where(scale > 0, scale, 1.0)
     v = blocks / safe[:, None]
-    q = jnp.searchsorted(jnp.asarray(_BOUNDARIES[signed]), v).astype(jnp.uint8)
-    return _Q(q.reshape(-1), scale)
+    j, zero = _log_index(jnp.abs(v), _N_MAGS[signed])
+    if signed:
+        # codebook layout: [0..126] = -mags reversed, [127] = 0, [128..254] = +mags
+        q = jnp.where(zero, 127, jnp.where(v >= 0, 128 + j, 126 - j))
+    else:
+        # codebook layout: [0] = 0, [1..255] = mags
+        q = jnp.where(zero, 0, 1 + j)
+    return _Q(q.astype(jnp.uint8).reshape(-1), scale)
 
 
 def _dequantize(qv: _Q, shape, signed: bool = True) -> jnp.ndarray:
-    cb = jnp.asarray(_CODEBOOKS[signed])
-    blocks = cb[qv.q.reshape(-1, BLOCK)] * qv.scale[:, None]
+    """Closed-form dequantise: the codebook entry for an index is
+    ``sign * 10**(j*step - D)`` — computed directly on the VPU (one exp2
+    per element).  A 256-entry table *gather* here costs ~90x the whole
+    update on TPU (measured: 9.7 s vs 0.11 s for a 0.58B-param tree), so
+    the table (kept in ``_CODEBOOKS`` for tests) is never gathered."""
+    q = qv.q.reshape(-1, BLOCK)
+    n_mags = _N_MAGS[signed]
+    step = _DECADES / (n_mags - 1)
+    qf = q.astype(jnp.float32)
+    if signed:
+        # layout: [0..126] = -mags reversed, [127] = 0, [128..254] = +mags
+        j = jnp.where(q >= 128, qf - 128.0, 126.0 - qf)
+        sign = jnp.where(q == 127, 0.0, jnp.where(q >= 128, 1.0, -1.0))
+    else:
+        # layout: [0] = 0, [1..255] = mags
+        j = qf - 1.0
+        sign = jnp.where(q == 0, 0.0, 1.0)
+    mag = jnp.exp2((j * step - _DECADES) * 3.321928094887362)  # log2(10)
+    blocks = sign * mag * qv.scale[:, None]
     n = 1
     for s in shape:
         n *= s

@@ -120,9 +120,15 @@ class SyntheticDataset:
         return item
 
 
-def build_models(cfg: dict, mode: str, dtype=jnp.float32, tiny: bool = False):
-    if tiny:
-        unet_cfg, cn_cfg, vae_cfg = UNetConfig.tiny(), ControlNetConfig.tiny(), VAEConfig.tiny()
+def build_models(cfg: dict, mode: str, dtype=jnp.float32, tiny: bool = False,
+                 nano: bool = False):
+    if tiny or nano:
+        if nano:  # 2-block topology: fastest CPU compile for smoke tests
+            unet_cfg, cn_cfg = UNetConfig.nano(), ControlNetConfig.nano()
+            vae_cfg = VAEConfig.tiny()
+        else:
+            unet_cfg, cn_cfg, vae_cfg = (
+                UNetConfig.tiny(), ControlNetConfig.tiny(), VAEConfig.tiny())
         vis_cfg = CLIPVisionConfig(hidden_size=32, num_layers=1, num_heads=4,
                                    intermediate_size=64, patch_size=56, image_size=224,
                                    projection_dim=unet_cfg.cross_attention_dim)
@@ -159,6 +165,8 @@ def main(argv: Optional[list] = None):
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic instances instead of dataset_path")
     p.add_argument("--tiny", action="store_true", help="tiny model configs (smoke)")
+    p.add_argument("--nano", action="store_true",
+                   help="2-block nano configs (fastest smoke compile)")
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--pretrained", default=None,
                    help="dir with HF-layout subfolders (unet/, vae/, ...)")
@@ -172,6 +180,13 @@ def main(argv: Optional[list] = None):
     p.add_argument("--devices", type=int, default=None,
                    help="cap the mesh at the first N devices (smoke tests)")
     args = p.parse_args(argv)
+
+    # Honor JAX_PLATFORMS + persistent compile cache (the sandbox
+    # sitecustomize clobbers the env var); must run before any
+    # backend-initialising call.
+    from ..cli.inference import configure_jax_runtime
+
+    configure_jax_runtime()
 
     # multi-host entry (accelerate-launcher equivalent): must run before the
     # first backend-initialising call so every process sees the global mesh
@@ -194,7 +209,8 @@ def main(argv: Optional[list] = None):
     batch_size = int(cfg.get("train_batch_size", 1)) * mesh.devices.size
     num_iters = args.max_steps or int(cfg.get("num_train_iters", 100_000))
 
-    unet, controlnet, modules = build_models(cfg, args.mode, tiny=args.tiny)
+    unet, controlnet, modules = build_models(
+        cfg, args.mode, tiny=args.tiny, nano=args.nano)
     F, H, W = dcfg.video_seq_length, dcfg.height, dcfg.width
     ctx_dim = unet.config.cross_attention_dim
     seq = 78 if tcfg.use_text else 1
