@@ -96,6 +96,34 @@ def test_flatten_bridge_v2(tmp_path):
     assert {"im_0.jpg", "im_1.jpg", "im_2.jpg", "policy_out.pkl", "lang.txt"} <= set(os.listdir(out))
 
 
+def test_export_csv_and_jsonl_indices(tmp_path):
+    """prepare_bridge_csv.py / prepare_bridge_jsonl.py equivalents: CSV rows
+    count only the sequential im_* prefix; JSONL lists valid raw trajs."""
+    import csv, json
+
+    # raw tree (for jsonl) -> flatten (for csv)
+    raw = tmp_path / "raw"
+    traj = raw / "s" / "t" / "o" / "c" / "raw" / "traj_group0" / "traj0"
+    imgs = traj / "images0"
+    os.makedirs(imgs)
+    for i in [0, 1, 2, 4]:  # gap at 3: csv must count 3, not 4
+        cv2.imwrite(str(imgs / f"im_{i}.jpg"), np.zeros((8, 8, 3), np.uint8))
+    (traj / "policy_out.pkl").write_bytes(pickle.dumps([]))
+    (traj / "lang.txt").write_text("put the cup there\n")
+
+    n = prepare_bridge.export_jsonl([str(raw)], str(tmp_path / "idx.jsonl"), [2])
+    assert n == 1
+    rec = json.loads(open(tmp_path / "idx.jsonl").read().strip())
+    assert rec["file_path"].endswith("traj0")
+
+    prepare_bridge.flatten_bridge(str(raw), str(tmp_path / "flat"), version=2)
+    n = prepare_bridge.export_csv([str(tmp_path / "flat")], str(tmp_path / "idx.csv"))
+    assert n == 1
+    rows = list(csv.reader(open(tmp_path / "idx.csv")))
+    assert rows[0] == ["path", "text", "num_frames", "height", "width"]
+    assert rows[1][1].startswith("put the cup") and rows[1][2] == "3"
+
+
 def test_trajectory_on_synthetic_motion():
     # a bright square moving right by 4px/frame on a dark background
     frames = []
@@ -223,3 +251,48 @@ def test_select_frames_cli_driver(tmp_path, monkeypatch):
     messages = select_frames.process_dataset(str(tmp_path / "in"), out, det)
     assert messages.get("Success!") == 1
     assert os.path.exists(os.path.join(out, "traj", "data.txt"))
+
+
+def test_flowformer_adapter_with_fake_vendored_module(tmp_path, monkeypatch):
+    """detectors.FlowFormerFlow loads a user-vendored ``flowformer_code``
+    package (reference generate_traj.py:20-26) and replicates the untiled
+    compute_flow path (:85-100): sintel InputPadder pad-to-/8 (replicate,
+    left/right + top-heavy split), one forward, unpad.  Faked here with a
+    torch module returning a coordinate grid so the unpad crop offsets are
+    observable."""
+    import sys
+    import types
+
+    import torch
+
+    class FakeFlowFormer(torch.nn.Module):
+        def __init__(self, cfg):
+            super().__init__()
+            self.scale = torch.nn.Parameter(torch.ones(()))
+
+        def forward(self, im1, im2):
+            b, _, h, w = im1.shape
+            ys = torch.arange(h, dtype=torch.float32)[None, None, :, None]
+            xs = torch.arange(w, dtype=torch.float32)[None, None, None, :]
+            flow = torch.cat([xs.expand(b, 1, h, w), ys.expand(b, 1, h, w)], 1)
+            return flow * self.scale, None
+
+    mod = types.ModuleType("flowformer_code.FlowFormer")
+    mod.build_flowformer = lambda cfg: FakeFlowFormer(cfg)
+    pkg = types.ModuleType("flowformer_code")
+    pkg.FlowFormer = mod
+    monkeypatch.setitem(sys.modules, "flowformer_code", pkg)
+    monkeypatch.setitem(sys.modules, "flowformer_code.FlowFormer", mod)
+
+    ckpt = tmp_path / "sintel.pth"
+    torch.save(torch.nn.DataParallel(FakeFlowFormer(None)).state_dict(), ckpt)
+
+    from this_and_that_vdm_tpu.curation.detectors import FlowFormerFlow
+
+    ff = FlowFormerFlow(str(ckpt), flow_cfg={})
+    h, w = 30, 45  # pads to 32x48: pad_w=3 -> (1,2), pad_h=2 -> (1,1)
+    flow = ff(np.zeros((h, w, 3), np.uint8), np.zeros((h, w, 3), np.uint8))
+    assert flow.shape == (h, w, 2)
+    # the coordinate grid must be cropped at the padder's left/top offsets
+    np.testing.assert_allclose(flow[0, 0], [1.0, 1.0])
+    np.testing.assert_allclose(flow[h - 1, w - 1], [w, h])

@@ -61,6 +61,60 @@ def flatten_bridge(dataset_path: str, destination_path: str, version: int = 2,
     return idx
 
 
+def export_csv(flat_dataset_paths, csv_path: str,
+               height: int = 480, width: int = 640) -> int:
+    """Flat instance folders -> Open-SORA-style CSV index.
+
+    Replicates reference curation_pipeline/prepare_bridge_csv.py: one row
+    per instance ``[path, text, num_frames, height, width]`` where
+    num_frames counts the *sequential* ``im_<i>.jpg`` prefix (a gap ends
+    the count, prepare_bridge_csv.py:23-27) and text is the first line of
+    ``lang.txt``.  Returns the number of data rows written.
+    """
+    import csv
+
+    rows = [["path", "text", "num_frames", "height", "width"]]
+    for root in flat_dataset_paths:
+        for name in sorted(os.listdir(root)):
+            sub = os.path.join(root, name)
+            if not os.path.isdir(sub):
+                continue
+            lang = os.path.join(sub, "lang.txt")
+            if not os.path.exists(lang):
+                continue
+            n = 0
+            while os.path.exists(os.path.join(sub, f"im_{n}.jpg")):
+                n += 1
+            with open(lang) as f:
+                prompt = f.readline()
+            rows.append([sub, prompt, n, height, width])
+    with open(csv_path, "w", newline="") as f:
+        csv.writer(f).writerows(rows)
+    return len(rows) - 1
+
+
+def export_jsonl(raw_dataset_paths, jsonl_path: str, versions=None) -> int:
+    """Raw Bridge roots -> JSONL of valid trajectory paths (one
+    ``{"file_path": ...}`` object per line), replicating reference
+    curation_pipeline/prepare_bridge_jsonl.py (which calls the flatteners
+    with copyfile=False to only enumerate).  Returns the line count."""
+    import json
+
+    versions = versions or [2] * len(raw_dataset_paths)
+    count = 0
+    with open(jsonl_path, "w") as out:
+        for root, version in zip(raw_dataset_paths, versions):
+            for traj_path in _iter_traj_dirs(root, version):
+                policy = os.path.join(traj_path, "policy_out.pkl")
+                lang = os.path.join(traj_path, "lang.txt")
+                if not (os.path.exists(policy) and os.path.exists(lang)):
+                    continue
+                json.dump({"file_path": traj_path}, out)
+                out.write("\n")
+                count += 1
+    return count
+
+
 def main(argv=None):
     import argparse
 
@@ -68,9 +122,21 @@ def main(argv=None):
     p.add_argument("--dataset_path", required=True)
     p.add_argument("--destination_path", required=True)
     p.add_argument("--version", type=int, choices=[1, 2], default=2)
+    p.add_argument("--export", choices=["", "csv", "jsonl"], default="",
+                   help="instead of flattening: write an Open-SORA CSV "
+                        "(over a flat root) or a JSONL path index (over a "
+                        "raw root) to --destination_path")
     args = p.parse_args(argv)
-    n = flatten_bridge(args.dataset_path, args.destination_path, args.version)
-    print(f"flattened {n} instances")
+    if args.export == "csv":
+        n = export_csv([args.dataset_path], args.destination_path)
+        print(f"indexed {n} instances")
+    elif args.export == "jsonl":
+        n = export_jsonl([args.dataset_path], args.destination_path,
+                         [args.version])
+        print(f"indexed {n} trajectories")
+    else:
+        n = flatten_bridge(args.dataset_path, args.destination_path, args.version)
+        print(f"flattened {n} instances")
 
 
 if __name__ == "__main__":
