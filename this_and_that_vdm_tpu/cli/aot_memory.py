@@ -61,6 +61,16 @@ def vl_step_memory_analysis(fsdp: int, n_devices: int = 8,
     import jax.numpy as jnp
     import jax.random as jr
 
+    if topology:
+        # Topology-AOT (no live backend) cannot emit the flash-attention
+        # custom call's partitioner ("Custom emitter for
+        # CustomSPMDPartitioning not found"); use the XLA einsum path.
+        # Memory-representative: flash saves VMEM (scores never hit HBM),
+        # so the XLA path's HBM numbers upper-bound the flash build.
+        from ..ops import attention as _attention
+
+        _attention.set_backend("xla")
+
     from ..models.unet import UNetSpatioTemporalConditionModel, UNetConfig
     from ..models.vae import AutoencoderKLTemporalDecoder, VAEConfig
     from ..models.clip import (

@@ -72,7 +72,11 @@ def _log_index(a: jnp.ndarray, n_mags: int):
     step = _DECADES / (n_mags - 1)
     mid = (1.0 + 10.0 ** step) / 2.0
     lo = 10.0 ** (-_DECADES)
-    j = jnp.floor(jnp.log10(jnp.maximum(a, lo * 1e-6) / (mid * lo)) / step) + 1.0
+    # log2 form (not log10): bit-identical to the fused Pallas kernel
+    # (ops/adam8bit_pallas.py), which computes in log2 because Mosaic
+    # lowers it natively.  3.3219... = log2(10).
+    j = jnp.floor(jnp.log2(jnp.maximum(a, lo * 1e-6) / (mid * lo))
+                  / (step * 3.321928094887362)) + 1.0
     j = jnp.clip(j, 0.0, n_mags - 1).astype(jnp.int32)
     return j, a < lo / 2.0
 
@@ -127,13 +131,24 @@ class Adam8bitState(NamedTuple):
     nu: optax.Params  # pytree of _Q (unsigned codebook)
 
 
+_KERNEL_MIN_BLOCKS = 32  # leaves below 32 blocks (8K params) stay on jnp
+
+
 def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
-                      sequential: bool = True):
+                      sequential: bool = True,
+                      kernel: str | bool = False):
     """``sequential=True`` chains the per-tensor updates with
     ``lax.optimization_barrier`` so XLA schedules them one after another:
     otherwise every leaf's fp32 dequantise/requantise temporaries (up to
     ~2x leaf size each) are live at once, which costs gigabytes of HBM peak
-    on a 1.5B-param tree and OOMs a 16G chip. Numerically identical."""
+    on a 1.5B-param tree and OOMs a 16G chip. Numerically identical.
+
+    ``kernel="auto"`` uses the fused single-pass Pallas update
+    (ops/adam8bit_pallas.py) for every leaf of >=32 blocks on TPU — one
+    kernel launch per leaf instead of ~6-8 XLA fusions; the launch-overhead
+    fix for the ~500-leaf trees (PERF.md "8-bit Adam kernel study").
+    ``True`` forces it (interpret mode off-TPU, tests only), ``False``
+    (the default until the kernel is timed on a real chip) disables it."""
 
     def init(params):
         zeros = jax.tree.map(
@@ -145,12 +160,41 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     def update(grads, state, params=None):
         count = state.count + 1
 
+        def _use_kernel(n_blocks: int) -> bool:
+            if kernel is False or n_blocks < _KERNEL_MIN_BLOCKS:
+                return False
+            if kernel is True:
+                return True
+            from ..ops import adam8bit_pallas
+
+            return adam8bit_pallas.supported()
+
+        cf = count.astype(jnp.float32)
+        bc = jnp.stack([1 - b1 ** cf, 1 - b2 ** cf]).reshape(1, 2)
+
         def upd(g, mq, nq):
             g = g.astype(jnp.float32)
+            nb = mq.scale.shape[0]
+            if _use_kernel(nb):
+                from ..ops.adam8bit_pallas import adam8bit_leaf_update
+
+                gf = g.reshape(-1)
+                pad = nb * BLOCK - gf.size
+                if pad:
+                    gf = jnp.pad(gf, (0, pad))
+                step2d, mq2, ms2, nq2, ns2 = adam8bit_leaf_update(
+                    gf.reshape(nb, BLOCK),
+                    mq.q.reshape(nb, BLOCK), mq.scale.reshape(nb, 1),
+                    nq.q.reshape(nb, BLOCK), nq.scale.reshape(nb, 1), bc,
+                    b1=b1, b2=b2, eps=eps, interpret=kernel is True and
+                    jax.default_backend() != "tpu")
+                step = step2d.reshape(-1)[:g.size].reshape(g.shape)
+                return (step, _Q(mq2.reshape(-1), ms2.reshape(-1)),
+                        _Q(nq2.reshape(-1), ns2.reshape(-1)))
             m = b1 * _dequantize(mq, g.shape, True) + (1 - b1) * g
             n = b2 * _dequantize(nq, g.shape, False) + (1 - b2) * g * g
-            mhat = m / (1 - b1 ** count.astype(jnp.float32))
-            nhat = n / (1 - b2 ** count.astype(jnp.float32))
+            mhat = m / bc[0, 0]
+            nhat = n / bc[0, 1]
             step = mhat / (jnp.sqrt(nhat) + eps)
             return step, _quantize(m, True), _quantize(n, False)
 
@@ -175,9 +219,10 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     return optax.GradientTransformation(init, update)
 
 
-def adamw8bit(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2):
+def adamw8bit(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2,
+              kernel: str | bool = False):
     return optax.chain(
-        scale_by_adam8bit(b1, b2, eps),
+        scale_by_adam8bit(b1, b2, eps, kernel=kernel),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(learning_rate),
     )
