@@ -33,8 +33,9 @@ def _load_instance_image(path: str, height: int, width: int) -> np.ndarray:
 
 
 def _ambiguous_prompt(prompt: str) -> str:
-    words = prompt.strip().split(" ")
-    return (words[0] if words else "move") + " this to there"
+    from ..data.bridge import ambiguous_prompt
+
+    return ambiguous_prompt(prompt)
 
 
 def build_pipeline(args):

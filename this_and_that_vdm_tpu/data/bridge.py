@@ -141,6 +141,15 @@ def _motion_bucket(cfg: DataConfig, path: str) -> int:
     return int(z * cfg.svd_motion_std + cfg.svd_motion_mean)
 
 
+def ambiguous_prompt(prompt: str) -> str:
+    """Inference-time full rewrite: "<verb> this to there" (reference
+    test_code/inference.py:100-102).  Lives beside the training mixture in
+    ``_read_prompt`` so the two prompt-rewriting rules stay in one module
+    (the reference duplicates them across test_code/ and data_loader/)."""
+    words = prompt.strip().split(" ")
+    return (words[0] if words else "move") + " this to there"
+
+
 def _read_prompt(cfg: DataConfig, path: str, rng: random.Random) -> str:
     if not cfg.use_text:
         return ""
