@@ -38,6 +38,27 @@ from this_and_that_vdm_tpu.cli.inference import configure_jax_runtime
 configure_jax_runtime()
 
 
+def _probe_backend(timeout_s: float = 600.0):
+    """Fail fast (one diagnostic JSON line, rc=3) when the remote-TPU tunnel
+    is down: jax.devices() then hangs indefinitely (observed 2026-08-17),
+    which would wedge the whole bench run instead of reporting."""
+    import threading
+
+    got = []
+    t = threading.Thread(target=lambda: got.append(jax.devices()), daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not got:
+        print(json.dumps({
+            "metric": "unavailable", "value": None, "unit": None,
+            "vs_baseline": None,
+            "error": f"backend init (jax.devices) hung >{timeout_s:.0f}s — "
+                     "axon TPU tunnel down; re-run when the tunnel is back",
+        }))
+        os._exit(3)
+    return got[0]
+
+
 def _zeros_like_tree(tree, dtype=jnp.bfloat16):
     """Zero params; float leaves stored in bf16 (inference precision — the
     reference serves fp16; full-precision trees don't fit one chip's HBM
@@ -153,6 +174,7 @@ def main():
     from this_and_that_vdm_tpu.pipelines import StableVideoDiffusionControlNetPipeline
     from this_and_that_vdm_tpu.pipelines.svd import StableVideoDiffusionPipeline
 
+    _probe_backend()
     steps = int(os.environ.get("BENCH_STEPS", 25))
     mode = os.environ.get("BENCH_MODE", "vgl")
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32

@@ -49,4 +49,31 @@ total = jax.jit(lambda a: a.sum(), out_shardings=out_sharding)(x)
 got = float(jax.device_get(total.addressable_data(0)))
 # proc 0 contributes 1.0 x (n_local*4) elems, proc 1 contributes 2.0 x same
 assert got == 4 * n_local * 3, (got, n_local)
+
+# --- checkpoint pattern of the train loop: host_replicated (collective on
+# ALL ranks) -> rank-0 orbax save -> barrier -> restore on every rank.
+# Regression for the round-2 review finding: a rank-0-only device_get of a
+# cross-process-sharded state raises on non-addressable shards.
+from jax.experimental import multihost_utils  # noqa: E402
+
+from this_and_that_vdm_tpu.parallel import host_replicated  # noqa: E402
+from this_and_that_vdm_tpu.training import checkpoint as ckpt  # noqa: E402
+
+outdir = sys.argv[3]
+big = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+sharded = jax.device_put(big, NamedSharding(mesh, P("dcn")))
+assert not sharded.is_fully_addressable  # spans both processes
+tree = {"w": sharded,
+        "step": jax.device_put(np.int32(7), NamedSharding(mesh, P()))}
+host = host_replicated(tree)
+np.testing.assert_array_equal(np.asarray(host["w"]), big)
+# orbax saves are collective (internal barriers): every rank calls save
+ckpt.save_checkpoint(outdir, 7, host, total_limit=None)
+multihost_utils.sync_global_devices("ckpt_written")
+latest = ckpt.latest_checkpoint(outdir)
+restored = ckpt.restore_checkpoint(
+    latest, {"w": np.zeros_like(big), "step": np.array(0, np.int32)})
+np.testing.assert_array_equal(restored["w"], big)
+assert int(restored["step"]) == 7
+
 print(f"MULTIHOST_OK proc={pid} sum={got}", flush=True)

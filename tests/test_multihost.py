@@ -55,7 +55,8 @@ def test_two_process_cpu_smoke(tmp_path):
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("JAX_", "XLA_"))}
     procs = [
-        subprocess.Popen([sys.executable, worker, str(pid), port],
+        subprocess.Popen([sys.executable, worker, str(pid), port,
+                          str(tmp_path / "ckpts")],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
         for pid in (0, 1)

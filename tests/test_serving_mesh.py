@@ -128,6 +128,29 @@ def test_bake_params_matches_default_and_not_stale(pipe, vgl_ref):
     assert not np.allclose(out1, out2, atol=1e-3)
 
 
+def test_bake_key_detects_single_leaf_mutation(pipe):
+    """The staleness key must cover EVERY leaf id: in-place mutation of one
+    non-first leaf (same dict objects, one new array) has to change the key
+    (round-2 review finding — a first-leaf-only key served stale weights).
+    Unit-level: the key->executable mapping itself is covered by
+    test_bake_params_matches_default_and_not_stale."""
+    baked = dataclasses.replace(pipe, bake_params=True)
+    # fresh containers, same leaf arrays (don't corrupt the shared fixture)
+    baked.controlnet_params = jax.tree.map(lambda x: x, pipe.controlnet_params)
+    k1 = baked._bake_key()
+    leaves_with_path = jax.tree_util.tree_leaves_with_path(baked.controlnet_params)
+    path, leaf = leaves_with_path[-1]
+    node = baked.controlnet_params
+    for p in path[:-1]:
+        node = node[p.key]
+    node[path[-1].key] = jnp.ones_like(leaf)
+    assert baked._bake_key() != k1
+    # root-id-only reassignment is detected too (regression for the original
+    # behavior) and unrelated trees leave the key unchanged
+    baked.controlnet_params = jax.tree.map(lambda x: x, baked.controlnet_params)
+    assert baked._bake_key() != k1
+
+
 def test_ip2p_guess_mode_residuals_on_cond_branch(pipe):
     """guess_mode + use_instructpix2pix: ControlNet runs on the cond branch
     (FIRST third of the ip2p [cond; uncond_t; uncond_i] layout) and its

@@ -337,10 +337,55 @@ def test_tracking_anything_facade():
     assert painted_seq[0].shape == img.shape
 
 
+def test_kv_store_long_term_eviction_exact_alignment():
+    """Long-term path: a group's prototype values cover a usage-ordered
+    (NON-suffix) subset of the appended keys, and a group can be skipped for
+    whole rounds (candidate_value None).  Eviction must remap by the exact
+    per-value key index (v_idx); suffix slicing silently pairs values with
+    the wrong keys (round-2 review finding)."""
+    store = KeyValueMemoryStore(count_usage=True)
+    ck, cv = 4, 3
+    rng = np.random.default_rng(5)
+
+    # round 1: 5 prototype keys; group 0 covers all, group 1 skipped (None)
+    k1 = rng.standard_normal((1, 5, ck), np.float32)
+    v1_0 = rng.standard_normal((1, 5, cv), np.float32)
+    s1 = rng.random((1, 5)).astype(np.float32) + 1
+    store.add(k1, [v1_0, None], s1, None, objects=None)
+    assert store.num_groups == 1  # no placeholder created for the skip
+
+    # round 2: 4 keys; group 0 covers all, group 1 valid only at local {0, 2}
+    k2 = rng.standard_normal((1, 4, ck), np.float32)
+    v2_0 = rng.standard_normal((1, 4, cv), np.float32)
+    v2_1 = rng.standard_normal((1, 2, cv), np.float32)
+    s2 = rng.random((1, 4)).astype(np.float32) + 1
+    store.add(k2, [v2_0, v2_1], s2, None, objects=None,
+              value_key_idx=[None, np.array([0, 2])])
+    assert store.num_groups == 2
+    np.testing.assert_array_equal(store.v_idx[1], [5, 7])  # global key slots
+
+    # evict the 2 lowest-usage slots: key 0 (group-0 only) and key 5
+    # (group 1's FIRST value — under suffix slicing its other value would
+    # be paired with the wrong key)
+    usage = np.array([0, 9, 9, 9, 9, 1, 9, 9, 9], np.float32)
+    store.update_usage(usage)
+    store.remove_obsolete_features(max_size=7)
+
+    assert store.size == 7
+    # group 0: values for surviving keys [1,2,3,4] + [6,7,8] (old numbering)
+    expect_g0 = np.concatenate([v1_0[:, 1:], v2_0[:, 1:]], 1)
+    np.testing.assert_array_equal(store.v[0], expect_g0)
+    np.testing.assert_array_equal(store.v_idx[0], np.arange(7))
+    # group 1: only the value of surviving key 7 remains, remapped to slot 5
+    np.testing.assert_array_equal(store.v[1], v2_1[:, 1:])
+    np.testing.assert_array_equal(store.v_idx[1], [5])
+    np.testing.assert_array_equal(store.k[0, 5], k2[0, 2])  # key<->value pair
+
+
 def test_kv_store_multi_group_eviction_remaps_values():
     """remove_obsolete_features with >1 object group (the reference raises
-    NotImplementedError here, kv_memory_store.py:146-151; we implement the
-    key->value index remap via the suffix-alignment invariant)."""
+    NotImplementedError here, kv_memory_store.py:146-151); working-store
+    path, where the suffix-alignment invariant is exact."""
     store = KeyValueMemoryStore(count_usage=True)
     ck, cv, hw = 4, 6, 10
     rng = np.random.default_rng(11)

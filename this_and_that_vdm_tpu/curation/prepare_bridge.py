@@ -38,6 +38,14 @@ def _iter_traj_dirs(dataset_path: str, version: int) -> Iterator[str]:
                 yield traj_path
 
 
+def _valid_traj(traj_path: str, camera: str = "images0") -> bool:
+    """Single validity predicate shared by the flattener and the JSONL
+    exporter so both enumerate the same instance set."""
+    return (os.path.exists(os.path.join(traj_path, "policy_out.pkl"))
+            and os.path.exists(os.path.join(traj_path, "lang.txt"))
+            and os.path.isdir(os.path.join(traj_path, camera)))
+
+
 def flatten_bridge(dataset_path: str, destination_path: str, version: int = 2,
                    camera: str = "images0") -> int:
     """Returns the number of flattened instances."""
@@ -49,7 +57,7 @@ def flatten_bridge(dataset_path: str, destination_path: str, version: int = 2,
         policy = os.path.join(traj_path, "policy_out.pkl")
         lang = os.path.join(traj_path, "lang.txt")
         images = os.path.join(traj_path, camera)
-        if not (os.path.exists(policy) and os.path.exists(lang) and os.path.isdir(images)):
+        if not _valid_traj(traj_path, camera):
             continue
         target = os.path.join(destination_path, str(idx))
         if os.path.exists(target):
@@ -93,11 +101,14 @@ def export_csv(flat_dataset_paths, csv_path: str,
     return len(rows) - 1
 
 
-def export_jsonl(raw_dataset_paths, jsonl_path: str, versions=None) -> int:
+def export_jsonl(raw_dataset_paths, jsonl_path: str, versions=None,
+                 camera: str = "images0") -> int:
     """Raw Bridge roots -> JSONL of valid trajectory paths (one
     ``{"file_path": ...}`` object per line), replicating reference
     curation_pipeline/prepare_bridge_jsonl.py (which calls the flatteners
-    with copyfile=False to only enumerate).  Returns the line count."""
+    with copyfile=False to only enumerate).  Uses the flattener's exact
+    validity predicate (incl. the camera images dir) so the index never
+    lists a trajectory flattening would reject.  Returns the line count."""
     import json
 
     versions = versions or [2] * len(raw_dataset_paths)
@@ -105,9 +116,7 @@ def export_jsonl(raw_dataset_paths, jsonl_path: str, versions=None) -> int:
     with open(jsonl_path, "w") as out:
         for root, version in zip(raw_dataset_paths, versions):
             for traj_path in _iter_traj_dirs(root, version):
-                policy = os.path.join(traj_path, "policy_out.pkl")
-                lang = os.path.join(traj_path, "lang.txt")
-                if not (os.path.exists(policy) and os.path.exists(lang)):
+                if not _valid_traj(traj_path, camera):
                     continue
                 json.dump({"file_path": traj_path}, out)
                 out.write("\n")

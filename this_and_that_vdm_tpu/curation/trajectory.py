@@ -238,11 +238,27 @@ def process_dataset_traj(
 ) -> dict:
     """Batch driver over a flat dataset root with soft-failure accounting
     (reference generate_traj.py:583-597 multiprocessing scaffold — realised
-    here with a thread pool; the flow/SAM backends release the GIL or are
-    plain numpy)."""
+    here with a thread pool; the flow backends release the GIL or are
+    plain numpy).  The segmenter is stateful (set_image then predict — two
+    calls that must not interleave across instances), so a shared one is
+    serialised behind a lock; flow dominates the runtime, so worker threads
+    still overlap."""
     dirs = [os.path.join(input_root, d) for d in sorted(os.listdir(input_root))
             if os.path.isdir(os.path.join(input_root, d))]
     messages: dict = {}
+
+    if segmenter is not None and num_workers > 1:
+        import threading
+
+        class _LockedSegmenter:
+            def __init__(self, seg):
+                self._seg, self._lock = seg, threading.Lock()
+
+            def predict_mask_labeled(self, *a, **k):
+                with self._lock:
+                    return self._seg.predict_mask_labeled(*a, **k)
+
+        segmenter = _LockedSegmenter(segmenter)
 
     def run(args):
         i, d = args

@@ -160,14 +160,23 @@ class KeyValueMemoryStore:
         self.k: Optional[np.ndarray] = None      # [1, N, CK]
         self.s: Optional[np.ndarray] = None      # [1, N]
         self.e: Optional[np.ndarray] = None      # [1, N, CK]
-        self.v: List[np.ndarray] = []            # [n_obj_g, N_g, CV]
+        self.v: List[Optional[np.ndarray]] = []  # [n_obj_g, N_g, CV]
+        # long-term stores only: exact key slot of every value column
+        # ([N_g] int per group).  Consolidation prototypes valid for a group
+        # are generally NOT a suffix of the appended keys (validity follows
+        # usage-ranked candidate indices), so suffix slicing would misalign
+        # keys and values — the hazard behind the reference's
+        # NotImplementedError (kv_memory_store.py:146-151).
+        self.v_idx: List[Optional[np.ndarray]] = []
         self.obj_groups: List[List[int]] = []
         self.all_objects: List[int] = []
         self.use_count: Optional[np.ndarray] = None  # [N]
         self.life_count: Optional[np.ndarray] = None
 
-    def add(self, key, value, shrinkage, selection, objects: Optional[List[int]]):
+    def add(self, key, value, shrinkage, selection, objects: Optional[List[int]],
+            value_key_idx: Optional[List[Optional[np.ndarray]]] = None):
         n_new = key.shape[1]
+        old_size = 0 if self.k is None else self.k.shape[1]
         if self.k is None:
             self.k, self.s, self.e = key, shrinkage, selection
             if self.count_usage:
@@ -200,14 +209,28 @@ class KeyValueMemoryStore:
                 assert sorted(self.all_objects) == self.all_objects, \
                     "objects must be inserted in sorted order"
         else:
-            # long-term memory: value is a per-group list (None = skip)
+            # long-term memory: value is a per-group list (None = skip this
+            # round for that group).  value_key_idx[gi] gives each value
+            # column's position within the n_new appended keys; groups are
+            # kept index-aligned with the working store via None placeholders
+            # (a group can be skipped for several rounds before its first
+            # prototypes land).
             for gi, gv in enumerate(value):
                 if gv is None:
                     continue
-                if gi < self.num_groups:
-                    self.v[gi] = np.concatenate([self.v[gi], gv], 1)
+                local = (np.arange(gv.shape[1], dtype=np.int64)
+                         if value_key_idx is None or value_key_idx[gi] is None
+                         else np.asarray(value_key_idx[gi], np.int64))
+                gidx = old_size + local
+                while len(self.v) <= gi:
+                    self.v.append(None)
+                    self.v_idx.append(None)
+                if self.v[gi] is None:
+                    self.v[gi] = gv
+                    self.v_idx[gi] = gidx
                 else:
-                    self.v.append(gv)
+                    self.v[gi] = np.concatenate([self.v[gi], gv], 1)
+                    self.v_idx[gi] = np.concatenate([self.v_idx[gi], gidx])
 
     def update_usage(self, usage: np.ndarray):
         if not self.count_usage:
@@ -248,12 +271,13 @@ class KeyValueMemoryStore:
 
         Goes beyond the reference here: kv_memory_store.py:146-151 raises
         NotImplementedError for >1 object group ("we need to remap the
-        indices for keys to values").  The remap is well-defined because of
-        the store's suffix invariant — group ``gi``'s values always cover
-        the LAST ``v[gi].shape[1]`` keys (every ``add`` appends values for
-        all existing groups; a new group starts at the then-current end),
-        and boolean eviction preserves key order, so masking each group
-        with the tail of ``survived`` keeps the invariant intact."""
+        indices for keys to values").  Long-term groups carry the exact key
+        slot of every value column (``v_idx``, written by the
+        consolidation-validity path of ``add``), so the remap is exact:
+        keep the value columns whose key survived, then renumber.  Working
+        stores (no ``v_idx``) keep the suffix rule, which IS exact there —
+        every working ``add`` appends values for all existing groups, and a
+        new group starts at the then-current end."""
         usage = self.get_usage()
         old_size = self.size
         drop = old_size - max_size
@@ -261,12 +285,20 @@ class KeyValueMemoryStore:
             return
         threshold = np.sort(usage)[drop - 1]
         survived = usage > threshold
+        new_pos = np.cumsum(survived) - 1  # old key slot -> new key slot
         self.k = self.k[:, survived]
         self.s = self.s[:, survived] if self.s is not None else None
         self.e = self.e[:, survived] if self.e is not None else None
         for gi in range(self.num_groups):
-            n_gi = self.v[gi].shape[1]
-            self.v[gi] = self.v[gi][:, survived[old_size - n_gi:]]
+            if self.v[gi] is None:
+                continue
+            if gi < len(self.v_idx) and self.v_idx[gi] is not None:
+                keep = survived[self.v_idx[gi]]
+                self.v[gi] = self.v[gi][:, keep]
+                self.v_idx[gi] = new_pos[self.v_idx[gi][keep]].astype(np.int64)
+            else:
+                n_gi = self.v[gi].shape[1]
+                self.v[gi] = self.v[gi][:, survived[old_size - n_gi:]]
         self.use_count = self.use_count[survived]
         self.life_count = self.life_count[survived]
 
@@ -279,7 +311,7 @@ class KeyValueMemoryStore:
         return k, s, e, usage
 
     def get_v_size(self, gi: int) -> int:
-        return self.v[gi].shape[1]
+        return 0 if self.v[gi] is None else self.v[gi].shape[1]
 
     def engaged(self) -> bool:
         return self.k is not None
@@ -343,12 +375,20 @@ class MemoryManager:
         work_sim = sim[:, :, long_size:]
         long_sim = sim[:, :, :long_size]
 
+        def _long_group_engaged(gi):
+            return (use_long and gi < self.long_mem.num_groups
+                    and self.long_mem.v[gi] is not None)
+
+        def _long_cols(gi):
+            # exact key slots of group gi's long-term values (v_idx); the
+            # valid-prototype subset is generally not a suffix of the store
+            idx = self.long_mem.v_idx[gi]
+            return np.take(long_sim, idx, axis=-1)
+
         affinities: List[np.ndarray] = []
-        # group 0 always owns every key slot; its affinity also yields usage
-        if use_long:
-            g0 = np.concatenate(
-                [long_sim[:, :, long_size - self.long_mem.get_v_size(0):],
-                 work_sim], -1)
+        # group 0 owns every work slot; its affinity also yields usage
+        if _long_group_engaged(0):
+            g0 = np.concatenate([_long_cols(0), work_sim], -1)
         else:
             g0 = work_sim
         aff0, usage = _match_kernel_from_sim(g0, self.top_k)
@@ -356,31 +396,30 @@ class MemoryManager:
         usage = np.asarray(usage)
 
         for gi in range(1, num_groups):
-            if use_long and gi < self.long_mem.num_groups:
-                gsim = np.concatenate(
-                    [long_sim[:, :, long_size - self.long_mem.get_v_size(gi):],
-                     work_sim[:, :, work_sim.shape[-1] - self.work_mem.get_v_size(gi):]],
-                    -1)
+            work_part = work_sim[:, :, work_sim.shape[-1] - self.work_mem.get_v_size(gi):]
+            if _long_group_engaged(gi):
+                gsim = np.concatenate([_long_cols(gi), work_part], -1)
             else:
-                gsim = work_sim[:, :, work_sim.shape[-1] - self.work_mem.get_v_size(gi):]
+                gsim = work_part
             affinities.append(np.asarray(_suffix_affinity(jnp.asarray(gsim),
                                                           self.top_k)))
 
         if use_long:
             values = []
             for gi in range(num_groups):
-                if gi < self.long_mem.num_groups:
+                if _long_group_engaged(gi):
                     values.append(np.concatenate(
                         [self.long_mem.v[gi], self.work_mem.v[gi]], 1))
                 else:
                     values.append(self.work_mem.v[gi])
-            # usage bookkeeping: usage vector covers [long(g0 subset); work]
+            # usage bookkeeping: usage vector covers [long g0 cols; work]
             work_usage = usage[0, usage.shape[1] - self.work_mem.size:]
             self.work_mem.update_usage(work_usage)
             if self.enable_long_term_usage:
                 long_usage = np.zeros(long_size, np.float32)
-                covered = usage.shape[1] - self.work_mem.size
-                long_usage[long_size - covered:] = usage[0, :covered]
+                if _long_group_engaged(0):
+                    idx0 = self.long_mem.v_idx[0]
+                    long_usage[idx0] = usage[0, :idx0.size]
                 self.long_mem.update_usage(long_usage)
         else:
             values = self.work_mem.v
@@ -433,12 +472,13 @@ class MemoryManager:
             else:
                 candidate_value.append(None)
 
-        pk, pv, ps = self.consolidation(
+        pk, pv, ps, pidx = self.consolidation(
             *self.work_mem.get_all_sliced(HW, -self.min_work_elements + HW),
             candidate_value)
         self.work_mem.sieve_by_range(HW, -self.min_work_elements + HW,
                                      min_size=self.min_work_elements + HW)
-        self.long_mem.add(pk, pv, ps, selection=None, objects=None)
+        self.long_mem.add(pk, pv, ps, selection=None, objects=None,
+                          value_key_idx=pidx)
 
     def consolidation(self, cand_key, cand_shrinkage, cand_selection, usage,
                       candidate_value):
@@ -461,26 +501,31 @@ class MemoryManager:
             jnp.asarray(proto_key),
             jnp.asarray(proto_sel) if proto_sel is not None else None))
 
-        proto_value, affinity0 = [], None
+        proto_value, proto_value_idx, affinity0 = [], [], None
         for gi, gv in enumerate(candidate_value):
             if gv is None:
                 proto_value.append(None)
+                proto_value_idx.append(None)
                 continue
             valid = validity[gi]
             gsim = sim[:, valid][:, :, n - gv.shape[1]:]
             if gsim.shape[1] == 0:
                 proto_value.append(None)
+                proto_value_idx.append(None)
                 continue
             aff = np.asarray(_suffix_affinity(jnp.asarray(gsim), None))
             if gi == 0:
                 affinity0 = aff
             proto_value.append(
                 np.asarray(_readout_kernel(jnp.asarray(aff), jnp.asarray(gv))))
+            # positions of this group's values within the k appended
+            # prototype keys (NOT a suffix: validity follows usage order)
+            proto_value_idx.append(np.nonzero(valid)[0].astype(np.int64))
 
         proto_shrinkage = (
             np.einsum("xpn,xn->xp", affinity0, cand_shrinkage)
             if affinity0 is not None and cand_shrinkage is not None else None)
-        return proto_key, proto_value, proto_shrinkage
+        return proto_key, proto_value, proto_shrinkage, proto_value_idx
 
     # hidden state -----------------------------------------------------------
     def create_hidden_state(self, n: int, sample_key: np.ndarray):

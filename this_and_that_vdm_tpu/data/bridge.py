@@ -271,12 +271,21 @@ class PrefetchLoader:
         it = iter(enumerate(batches))
         lock = threading.Lock()
         SENTINEL = object()
+        # Bound the reorder buffer: a worker may only start a job while
+        # fewer than max_ahead batches are un-yielded (ticket released when
+        # the consumer yields, not when it dequeues) — otherwise one slow
+        # batch lets the others drain past the queue's maxsize into
+        # ``pending`` without limit (whole-epoch host OOM on video batches).
+        max_ahead = 2 * self.num_workers
+        tickets = threading.Semaphore(max_ahead)
 
         def worker():
             while True:
+                tickets.acquire()
                 with lock:
                     job = next(it, None)
                 if job is None:
+                    tickets.release()
                     q.put((None, SENTINEL))
                     return
                 bidx, idxs = job
@@ -299,6 +308,7 @@ class PrefetchLoader:
         while done < self.num_workers or pending:
             while next_idx in pending:
                 yield pending.pop(next_idx)
+                tickets.release()
                 next_idx += 1
             if done == self.num_workers and not pending:
                 break
@@ -309,4 +319,5 @@ class PrefetchLoader:
             pending[bidx] = item
         while next_idx in pending:
             yield pending.pop(next_idx)
+            tickets.release()
             next_idx += 1

@@ -223,19 +223,6 @@ class _LNParams(nn.Module):
         return s, b
 
 
-def dense_apply(x, kernel, bias, dtype):
-    """``nn.Dense`` application semantics on explicit ``_DenseParams`` leaves.
-
-    No ``preferred_element_type`` override: the TPU MXU accumulates bf16
-    matmuls in fp32 internally and emits the requested dtype directly —
-    forcing an fp32 *output* doubles the projection's HBM write traffic
-    (measured −19%/step end to end in the round-2 fusion study, PERF.md)."""
-    y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
-    if bias is not None:
-        y = y + bias.astype(dtype)
-    return y
-
-
 class Attention(nn.Module):
     """Multi-head attention (diffusers ``Attention`` with AttnProcessor2_0).
 

@@ -30,41 +30,20 @@ import functools
 import jax
 import jax.numpy as jnp
 
-BLOCK = 256
-_DECADES = 7.0
-_LOG2_10 = 3.321928094887362
+from .quant8 import BLOCK, decode as _decode, encode as _encode
+
 _TILE = 512  # rows (256-elem blocks) per grid step; 512x256 f32 = 512 KB
 
 
 def _dequant_tile(q, scale, signed: bool, n_mags: int):
-    step = _DECADES / (n_mags - 1)
-    qf = q.astype(jnp.float32)
-    if signed:
-        j = jnp.where(qf >= 128.0, qf - 128.0, 126.0 - qf)
-        sign = jnp.where(qf == 127.0, 0.0, jnp.where(qf >= 128.0, 1.0, -1.0))
-    else:
-        j = qf - 1.0
-        sign = jnp.where(qf == 0.0, 0.0, 1.0)
-    mag = jnp.exp2((j * step - _DECADES) * _LOG2_10)
-    return sign * mag * scale
+    return _decode(q.astype(jnp.float32), signed, n_mags) * scale
 
 
 def _quant_tile(x, signed: bool, n_mags: int):
     """[T, 256] f32 -> (uint8 [T, 256], f32 [T, 1]) block-quantise."""
-    step = _DECADES / (n_mags - 1)
-    mid = (1.0 + 10.0 ** step) / 2.0
-    lo = 10.0 ** (-_DECADES)
     scale = jnp.max(jnp.abs(x), axis=1, keepdims=True)
     safe = jnp.where(scale > 0.0, scale, 1.0)
-    v = x / safe
-    a = jnp.abs(v)
-    j = jnp.floor(jnp.log2(jnp.maximum(a, lo * 1e-6) / (mid * lo)) / (step * _LOG2_10)) + 1.0
-    j = jnp.clip(j, 0.0, n_mags - 1.0)
-    zero = a < lo / 2.0
-    if signed:
-        q = jnp.where(zero, 127.0, jnp.where(v >= 0.0, 128.0 + j, 126.0 - j))
-    else:
-        q = jnp.where(zero, 0.0, 1.0 + j)
+    q = _encode(x / safe, signed, n_mags)
     return q.astype(jnp.uint8), scale
 
 

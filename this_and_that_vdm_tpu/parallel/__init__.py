@@ -1,5 +1,6 @@
 from .mesh import (
     make_mesh,
+    host_replicated,
     make_serving_mesh,
     shard_params,
     shard_batch,
@@ -12,6 +13,7 @@ from .mesh import (
 
 __all__ = [
     "make_mesh",
+    "host_replicated",
     "make_serving_mesh",
     "shard_params",
     "shard_batch",

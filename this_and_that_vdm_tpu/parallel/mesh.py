@@ -127,6 +127,25 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: NamedSharding(mesh, P()), tree)
 
 
+def host_replicated(tree: Any) -> Any:
+    """Gather a (possibly cross-process-sharded) pytree to host numpy.
+
+    Single-host: identity (no copy).  Multihost: a COLLECTIVE — every
+    process must call it at the same point; afterwards rank-0-only IO
+    (checkpoint write, validation render) is safe because the returned
+    numpy leaves are process-local, so nothing downstream touches arrays
+    spanning non-addressable devices.  TPU-native analog of accelerate's
+    gather + ``is_main_process`` save pattern (train_svd.py:843-869)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    # tiled=True: gather global (non-fully-addressable) arrays to their
+    # global shape (tiled=False would try to stack a new leading axis and
+    # is rejected for global inputs)
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
 def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
     """device_put every leaf fully replicated over the mesh (inference
     serving: parameters live on every chip)."""

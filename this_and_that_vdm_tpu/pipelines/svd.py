@@ -104,13 +104,14 @@ class StableVideoDiffusionPipeline:
 
     @staticmethod
     def _tree_identity(tree):
-        """Identity of a param tree for bake-cache keys: the root id plus the
-        first leaf's id, so in-place mutation of an existing tree (same dict,
-        new leaf arrays) is detected as well as whole-tree reassignment."""
+        """Identity of a param tree for bake-cache keys: the root id plus
+        EVERY leaf's id, so in-place mutation of any single leaf (same dict,
+        one new array anywhere in the tree) is detected as well as
+        whole-tree reassignment.  Cost: ~1k ids per pipeline call —
+        negligible against a clip generation."""
         if tree is None:
             return None
-        leaves = jax.tree_util.tree_leaves(tree)
-        return (id(tree), id(leaves[0]) if leaves else None)
+        return (id(tree), tuple(map(id, jax.tree_util.tree_leaves(tree))))
 
     def _bake_key(self):
         if not self.bake_params:

@@ -32,11 +32,15 @@ def _ckpt_dirs(output_dir: str):
 def save_checkpoint(
     output_dir: str, step: int, state: Any, total_limit: Optional[int] = 15
 ) -> str:
+    """Write ``checkpoint-<step>``.  Multihost: orbax's checkpointer is
+    itself collective (it runs sync_global_devices barriers), so EVERY
+    process must call this — rank-0-only calls deadlock.  Only the
+    filesystem rotation is rank-0 gated."""
     path = os.path.join(os.path.abspath(output_dir), f"checkpoint-{step}")
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, jax.device_get(state), force=True)
     ckptr.wait_until_finished()
-    if total_limit:
+    if total_limit and jax.process_index() == 0:
         existing = _ckpt_dirs(output_dir)
         while len(existing) > total_limit:
             _, oldest = existing.pop(0)

@@ -38,8 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-BLOCK = 256
-_DECADES = 7  # relative dynamic range 1e-7 .. 1 (bitsandbytes-like)
+from ..ops.quant8 import (  # single source of the closed forms (see quant8)
+    BLOCK, DECADES as _DECADES, decode as _q8_decode, encode as _q8_encode,
+    log_index as _q8_log_index,
+)
 
 
 def _make_codebook(signed: bool) -> np.ndarray:
@@ -61,24 +63,12 @@ class _Q(NamedTuple):
 
 
 def _log_index(a: jnp.ndarray, n_mags: int):
-    """Nearest-magnitude codebook index of ``a`` (non-negative, <= 1).
-
-    Magnitudes are ``10**(-D + D*j/(n-1))``; with constant ratio
-    ``r = 10**(D/(n-1))`` the linear midpoint between entries j and j+1 is
-    ``mags[j]*(1+r)/2``, so the count of midpoints below ``a`` — the nearest
-    index — is closed-form.  Returns (index in [0, n_mags-1], is_zero mask
-    for the below-smallest-midpoint bucket).
-    """
-    step = _DECADES / (n_mags - 1)
-    mid = (1.0 + 10.0 ** step) / 2.0
-    lo = 10.0 ** (-_DECADES)
-    # log2 form (not log10): bit-identical to the fused Pallas kernel
-    # (ops/adam8bit_pallas.py), which computes in log2 because Mosaic
-    # lowers it natively.  3.3219... = log2(10).
-    j = jnp.floor(jnp.log2(jnp.maximum(a, lo * 1e-6) / (mid * lo))
-                  / (step * 3.321928094887362)) + 1.0
-    j = jnp.clip(j, 0.0, n_mags - 1).astype(jnp.int32)
-    return j, a < lo / 2.0
+    """Nearest-magnitude codebook index of ``a`` (non-negative, <= 1); the
+    closed form lives in ``ops.quant8.log_index`` (shared with the fused
+    Pallas kernel so the two paths stay bit-identical).  Returns (int32
+    index in [0, n_mags-1], is_zero mask)."""
+    j, zero = _q8_log_index(a, n_mags)
+    return j.astype(jnp.int32), zero
 
 
 def _quantize(x: jnp.ndarray, signed: bool = True) -> _Q:
@@ -88,37 +78,19 @@ def _quantize(x: jnp.ndarray, signed: bool = True) -> _Q:
     blocks = flat.reshape(-1, BLOCK)
     scale = jnp.max(jnp.abs(blocks), axis=1)
     safe = jnp.where(scale > 0, scale, 1.0)
-    v = blocks / safe[:, None]
-    j, zero = _log_index(jnp.abs(v), _N_MAGS[signed])
-    if signed:
-        # codebook layout: [0..126] = -mags reversed, [127] = 0, [128..254] = +mags
-        q = jnp.where(zero, 127, jnp.where(v >= 0, 128 + j, 126 - j))
-    else:
-        # codebook layout: [0] = 0, [1..255] = mags
-        q = jnp.where(zero, 0, 1 + j)
+    q = _q8_encode(blocks / safe[:, None], signed, _N_MAGS[signed])
     return _Q(q.astype(jnp.uint8).reshape(-1), scale)
 
 
 def _dequantize(qv: _Q, shape, signed: bool = True) -> jnp.ndarray:
-    """Closed-form dequantise: the codebook entry for an index is
-    ``sign * 10**(j*step - D)`` — computed directly on the VPU (one exp2
-    per element).  A 256-entry table *gather* here costs ~90x the whole
-    update on TPU (measured: 9.7 s vs 0.11 s for a 0.58B-param tree), so
-    the table (kept in ``_CODEBOOKS`` for tests) is never gathered."""
+    """Closed-form dequantise (shared form in ``ops.quant8.decode``): one
+    exp2 per element on the VPU.  A 256-entry table *gather* here costs
+    ~90x the whole update on TPU (measured: 9.7 s vs 0.11 s for a
+    0.58B-param tree), so the table (kept in ``_CODEBOOKS`` for tests) is
+    never gathered."""
     q = qv.q.reshape(-1, BLOCK)
-    n_mags = _N_MAGS[signed]
-    step = _DECADES / (n_mags - 1)
-    qf = q.astype(jnp.float32)
-    if signed:
-        # layout: [0..126] = -mags reversed, [127] = 0, [128..254] = +mags
-        j = jnp.where(q >= 128, qf - 128.0, 126.0 - qf)
-        sign = jnp.where(q == 127, 0.0, jnp.where(q >= 128, 1.0, -1.0))
-    else:
-        # layout: [0] = 0, [1..255] = mags
-        j = qf - 1.0
-        sign = jnp.where(q == 0, 0.0, 1.0)
-    mag = jnp.exp2((j * step - _DECADES) * 3.321928094887362)  # log2(10)
-    blocks = sign * mag * qv.scale[:, None]
+    blocks = _q8_decode(q.astype(jnp.float32), signed, _N_MAGS[signed])
+    blocks = blocks * qv.scale[:, None]
     n = 1
     for s in shape:
         n *= s

@@ -37,6 +37,7 @@ from ..models.clip import (
 from ..data import bridge
 from ..parallel import (
     distributed_init,
+    host_replicated,
     is_main_process,
     make_mesh,
     replicate,
@@ -292,8 +293,12 @@ def main(argv: Optional[list] = None):
     val_every = int(cfg.get("validation_step", 0) or 0)
     val_folder = cfg.get("validation_img_folder")
 
-    def run_validation(step_now):
-        """log_validation equivalent: render val instances from live params."""
+    def run_validation(step_now, train_params, frozen_host):
+        """log_validation equivalent: render val instances from live params.
+
+        ``train_params``/``frozen_host`` must be process-local (host numpy
+        under multihost, via ``host_replicated``) — rank 0 renders alone, so
+        it must not compute on arrays spanning non-addressable devices."""
         from ..pipelines import (
             StableVideoDiffusionPipeline, StableVideoDiffusionControlNetPipeline,
         )
@@ -302,16 +307,16 @@ def main(argv: Optional[list] = None):
         common_kwargs = dict(
             unet=unet, vae=modules["vae"], image_encoder=modules["image_encoder"],
             text_encoder=modules["text_encoder"],
-            vae_params=frozen["vae"],
-            image_encoder_params=frozen["image_encoder"],
-            text_encoder_params=frozen["text_encoder"],
+            vae_params=frozen_host["vae"],
+            image_encoder_params=frozen_host["image_encoder"],
+            text_encoder_params=frozen_host["text_encoder"],
         )
         if args.mode == "vl":
-            pipe = StableVideoDiffusionPipeline(unet_params=state.params, **common_kwargs)
+            pipe = StableVideoDiffusionPipeline(unet_params=train_params, **common_kwargs)
         else:
             pipe = StableVideoDiffusionControlNetPipeline(
-                unet_params=frozen["unet"], controlnet=controlnet,
-                controlnet_params=state.params, **common_kwargs,
+                unet_params=frozen_host["unet"], controlnet=controlnet,
+                controlnet_params=train_params, **common_kwargs,
             )
         tok = dataset.tokenize if hasattr(dataset, "tokenize") else (
             lambda s: np.zeros((1, 77), np.int32))
@@ -340,14 +345,25 @@ def main(argv: Optional[list] = None):
                 if (step % 10 == 0 or step == 1) and logger is not None:
                     logger.log(step, loss=float(m["loss"]),
                                grad_norm=float(m["grad_norm"]))
-                if step % ckpt_every == 0 and is_main:
-                    path = ckpt.save_checkpoint(output_dir, step, state, total_limit)
-                    print(f"step {step}: saved {path} "
-                          f"({time.perf_counter() - t0:.1f}s elapsed)")
-                if val_every and val_folder and step % val_every == 0 and is_main:
-                    run_validation(step)
+                # host_replicated and save_checkpoint are collectives under
+                # multihost: ALL ranks reach them (a rank-0-only device_get
+                # of fsdp-sharded state raises on non-addressable shards;
+                # rank-0-only orbax saves / jits deadlock on their internal
+                # barriers).  Only rendering + prints are rank-0 gated.
+                if step % ckpt_every == 0:
+                    host_state = host_replicated(state)
+                    path = ckpt.save_checkpoint(
+                        output_dir, step, host_state, total_limit)
+                    if is_main:
+                        print(f"step {step}: saved {path} "
+                              f"({time.perf_counter() - t0:.1f}s elapsed)")
+                if val_every and val_folder and step % val_every == 0:
+                    host_tp, host_frozen = host_replicated((state.params, frozen))
+                    if is_main:
+                        run_validation(step, host_tp, host_frozen)
+    host_state = host_replicated(state)
+    path = ckpt.save_checkpoint(output_dir, step, host_state, total_limit)
     if is_main:
-        path = ckpt.save_checkpoint(output_dir, step, state, total_limit)
         print(f"done at step {step}; final checkpoint {path}")
     if logger is not None:
         logger.close()

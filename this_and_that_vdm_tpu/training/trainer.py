@@ -69,11 +69,18 @@ def make_optimizer(cfg: TrainConfig, params=None) -> optax.GradientTransformatio
         [cfg.lr_warmup_steps],
     )
     if cfg.use_8bit_adam:
+        import os
+
         from .optimizers import adamw8bit
 
+        # TTV_ADAM_KERNEL=1 -> fused single-pass Pallas update per leaf
+        # (ops/adam8bit_pallas.py); numerics identical, opt-in until timed
+        # on a real chip (bench: TTV_ADAM_KERNEL=1 BENCH_MODE=train_vgl)
+        kernel = "auto" if os.environ.get("TTV_ADAM_KERNEL") == "1" else False
         tx = adamw8bit(
             schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay,
+            kernel=kernel,
         )
     else:
         tx = optax.adamw(
