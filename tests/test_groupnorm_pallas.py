@@ -37,3 +37,29 @@ def test_supports_gating(monkeypatch):
     assert not gnp.supports(1, 8192, 1280, 32, f32)  # tile too big
     monkeypatch.setenv("TTV_FUSED_GROUPNORM", "0")
     assert not gnp.supports(28, 1536, 320, 32, jnp.bfloat16)  # default off
+
+
+def test_group_norm_constant_input_is_finite():
+    """One-pass E[x^2]-mean^2 cancels slightly negative on (near-)constant
+    groups; without the clamp rsqrt(var+eps) was NaN (hit by all-zero
+    latents + time-embedding bias in the F=25 smoke).  Degenerate groups
+    must normalise to ~bias like torch, both in the XLA path and the Pallas
+    kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    c, g = 256, 32
+    scale = jnp.ones((c,), jnp.float32)
+    bias = jnp.full((c,), 0.25, jnp.float32)
+    # per-channel constants large enough that fp32 cancellation error
+    # exceeds eps=1e-5 (the NaN regime before the clamp)
+    const = 100.0 + jnp.arange(c, dtype=jnp.float32) * 1e-4
+    x = jnp.broadcast_to(const, (2, 8, 16, c))
+
+    out = _group_norm(x, scale, bias, g, 1e-5)
+    assert np.isfinite(np.asarray(out)).all()
+    # x == mean within each group (up to the 1e-4 channel ramp): output ~bias
+    assert np.abs(np.asarray(out) - 0.25).max() < 0.5
+
+    with pltpu.force_tpu_interpret_mode():
+        got = gnp.group_norm_silu(x.reshape(2, -1, c), scale, bias, g, 1e-5, False)
+    assert np.isfinite(np.asarray(got)).all()

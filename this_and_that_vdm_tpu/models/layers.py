@@ -96,7 +96,12 @@ def _group_norm(x: jnp.ndarray, scale, bias, num_groups: int, eps: float) -> jnp
     g2 = jnp.sum(s2.reshape(-1, num_groups, c // num_groups), axis=-1)
     count = n_spatial * (c // num_groups)
     mean_g = g1 / count  # [N, G]
-    var_g = g2 / count - mean_g * mean_g
+    # One-pass E[x^2] - mean^2 suffers catastrophic cancellation when the
+    # group is (near-)constant: fp32 error ~1e-7*mean^2 can exceed eps and
+    # drive var negative -> rsqrt(neg) = NaN (hit with all-zero latents +
+    # time-embedding bias).  Clamp to 0; true variance >> the error is
+    # unaffected, degenerate groups normalise to 0 like torch.
+    var_g = jnp.maximum(g2 / count - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
 
     # per-channel affine: y = x * (inv * scale) + (bias - mean * inv * scale)

@@ -48,7 +48,9 @@ def _kernel(x_ref, scale_ref, bias_ref, onehot_ref, o_ref, *, eps, with_silu, co
     g1 = jnp.dot(s1, onehot, preferred_element_type=jnp.float32)  # [1, G]
     g2 = jnp.dot(s2, onehot, preferred_element_type=jnp.float32)
     mean = g1 / count
-    var = g2 / count - mean * mean
+    # clamp: one-pass variance can cancel slightly negative on
+    # (near-)constant groups -> rsqrt(neg) = NaN (see models/layers.py)
+    var = jnp.maximum(g2 / count - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     # back to per-channel via the transposed one-hot
     inv_c = jnp.dot(inv, onehot.T, preferred_element_type=jnp.float32)  # [1, C]

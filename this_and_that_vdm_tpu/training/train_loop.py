@@ -332,6 +332,7 @@ def main(argv: Optional[list] = None):
         print(f"step {step_now}: rendered {len(out)} validation instances")
 
     step = start_step
+    nonfinite_reads = 0
     t0 = time.perf_counter()
     print(f"training {args.mode} on mesh {dict(mesh.shape)}, batch {batch_size}")
     with mesh:
@@ -342,9 +343,25 @@ def main(argv: Optional[list] = None):
                 batch = jax.device_put(batch, shard_batch(batch, mesh))
                 state, m = step_fn(state, frozen, batch, jr.fold_in(key, step))
                 step += 1
-                if (step % 10 == 0 or step == 1) and logger is not None:
-                    logger.log(step, loss=float(m["loss"]),
-                               grad_norm=float(m["grad_norm"]))
+                if step % 10 == 0 or step == 1:
+                    loss = float(m["loss"])
+                    if logger is not None:
+                        logger.log(step, loss=loss,
+                                   grad_norm=float(m["grad_norm"]))
+                    # failure detection (beyond the reference, SURVEY §5):
+                    # a diverged run burns accelerator-hours silently — abort
+                    # once loss stays non-finite.  The loss is replicated, so
+                    # every rank takes the same branch (no multihost hang).
+                    if not np.isfinite(loss):
+                        nonfinite_reads += 1
+                        if nonfinite_reads >= 3:
+                            raise RuntimeError(
+                                f"loss non-finite for {nonfinite_reads} "
+                                f"consecutive reads (step {step}); aborting. "
+                                f"Resume from the last checkpoint with a "
+                                f"lower learning rate or grad clip.")
+                    else:
+                        nonfinite_reads = 0
                 # host_replicated and save_checkpoint are collectives under
                 # multihost: ALL ranks reach them (a rank-0-only device_get
                 # of fsdp-sharded state raises on non-addressable shards;
