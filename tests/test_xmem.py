@@ -421,3 +421,49 @@ def test_kv_store_multi_group_eviction_remaps_values():
     assert store.get_v_size(0) == hw // 2 and store.get_v_size(1) == hw // 2
     np.testing.assert_array_equal(store.v[0], v2[[0]][:, -(hw // 2):])
     np.testing.assert_array_equal(store.v[1], v2[[1]][:, -(hw // 2):])
+
+
+def test_match_memory_multi_group_long_term_readout_invariants():
+    """Multi-object long-term memory end to end at the MemoryManager level:
+    consolidation with a late-appearing second object produces None-skips and
+    non-suffix validity subsets; match_memory must gather each group's
+    long-term columns by exact key index (v_idx) and stay finite through
+    eviction (round-2 exact-alignment rework)."""
+    hw, h, w, CK, CV = 16, 4, 4, 4, 6
+    cfg = dict(DEFAULT_CONFIG, max_mid_term_frames=3, min_mid_term_frames=2,
+               num_prototypes=4, max_long_term_elements=hw * 2, top_k=5,
+               hidden_dim=8)
+    mm = MemoryManager(cfg)
+    rng = np.random.default_rng(3)
+
+    def add(objects):
+        k = rng.standard_normal((1, h, w, CK)).astype(np.float32)
+        s = rng.random((1, h, w)).astype(np.float32) + 1.0
+        v = rng.standard_normal((1, len(objects), h, w, CV)).astype(np.float32)
+        mm.add_memory(k, s, v, objects)
+
+    add([1])
+    add([1])  # object 2 appears from the 3rd frame on
+    evicted = False
+    for i in range(12):
+        qk = rng.standard_normal((1, h, w, CK)).astype(np.float32)
+        out = mm.match_memory(qk, None)
+        assert out.shape == (1, 2 if i else 1, h, w, CV)
+        assert np.isfinite(out).all()
+        before = mm.long_mem.size if mm.long_mem.engaged() else 0
+        add([1, 2])
+        if mm.long_mem.engaged() and mm.long_mem.size < before:
+            evicted = True
+        # v_idx invariants after every round
+        if mm.long_mem.engaged():
+            n = mm.long_mem.size
+            for gi in range(mm.long_mem.num_groups):
+                vi, gv = mm.long_mem.v_idx[gi], mm.long_mem.v[gi]
+                if gv is None:
+                    continue
+                assert len(vi) == gv.shape[1]
+                assert (np.diff(vi) > 0).all() and vi[0] >= 0 and vi[-1] < n
+            np.testing.assert_array_equal(mm.long_mem.v_idx[0], np.arange(n))
+
+    assert mm.long_mem.engaged() and mm.long_mem.num_groups == 2
+    assert mm.long_mem.v[1] is not None  # group 1 reached long-term memory
