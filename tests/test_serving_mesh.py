@@ -98,7 +98,7 @@ def test_vl_cfg_mesh_matches_single_device(pipe):
     sharded = dataclasses.replace(base).place_on_mesh(
         make_serving_mesh(jax.devices()[:4], cfg=2))  # clip=2 x cfg=2
     got = sharded(image, **_call_kwargs(latents, STEPS))
-    np.testing.assert_allclose(got, ref, atol=3e-4)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
 
 
 def test_vgl_cfg_mesh_matches_single_device(pipe, vgl_ref):
@@ -181,12 +181,12 @@ def test_ip2p_guess_mode_residuals_on_cond_branch(pipe):
     res, mid = pipe.controlnet.apply(
         pipe.controlnet_params, inp[:b], sched.timesteps[0], states[:b],
         add_ids[:b], jnp.tile(cond_lat[None], (b, 1, 1, 1, 1)),
-        conditioning_scale=1.0, guess_mode=True)
+        conditioning_scale=1.0, guess_mode=True, context_clips=b)
     pad = lambda r: jnp.concatenate([r] + [jnp.zeros_like(r)] * 2, axis=0)
     pred = pipe.unet.apply(
         pipe.unet_params, inp, sched.timesteps[0], states, add_ids,
         down_block_additional_residuals=tuple(pad(r) for r in res),
-        mid_block_additional_residual=pad(mid))
+        mid_block_additional_residual=pad(mid), context_clips=b)
     p_first, p_cond, p_uncond = jnp.split(pred, 3, axis=0)
     pred = p_uncond + guidance * (p_cond - p_uncond) + 1.5 * (p_cond - p_first)
     want = sched.step(pred, 0, x)

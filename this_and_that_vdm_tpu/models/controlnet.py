@@ -97,6 +97,7 @@ class ControlNetModel(nn.Module):
         controlnet_cond: jnp.ndarray,  # [B, F, H, W, 4] VAE-encoded gestures
         conditioning_scale: float = 1.0,
         guess_mode: bool = False,
+        context_clips: int = 1,  # see models/transformer.py
     ):
         cfg = self.config
         b, f = sample.shape[:2]
@@ -145,6 +146,7 @@ class ControlNetModel(nn.Module):
                     num_layers=cfg.layers_per_block,
                     transformer_layers=cfg.transformer_layers_per_block,
                     cross_attention_dim=cfg.cross_attention_dim,
+                    context_clips=context_clips,
                     add_downsample=not is_final,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
@@ -163,6 +165,7 @@ class ControlNetModel(nn.Module):
             heads=cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block,
             cross_attention_dim=cfg.cross_attention_dim,
+            context_clips=context_clips,
             dtype=self.dtype,
             name="mid_block",
         )(x, temb, context, image_only_indicator)

@@ -99,11 +99,20 @@ class GroupedCrossAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x_rows: jnp.ndarray, ctx: jnp.ndarray, ln: Optional[tuple] = None
+        self, x_rows: jnp.ndarray, ctx: jnp.ndarray, ln: Optional[tuple] = None,
+        clips: int = 1,
     ) -> jnp.ndarray:
         from ..ops.ln_matmul import ln_matmul
 
-        # x_rows: [R, F, C] (row r attends ctx[r % n]);  ctx: [n, S_kv, D]
+        # x_rows: [R, F, C];  ctx: [n, S_kv, D].  With ``clips == 1`` row r
+        # attends ctx[r % n] — the reference quirk above, REQUIRED for
+        # bit-parity with the published weights at CFG batch 2.  With
+        # ``clips`` independent clips in the batch (serving micro-batches,
+        # batch>1 training; batch rows are branch-major blocks of ``clips``),
+        # each clip reproduces its own solo-run mapping instead of leaking
+        # its neighbours' contexts:  row (b=j*clips+i, p) -> ctx[((j*s + p)
+        # % mult) * clips + i]  (mult = n // clips branches; for mult == 1,
+        # training, this is simply each clip's own context).
         r, f, c = x_rows.shape
         n = ctx.shape[0]
         inner = self.heads * self.dim_head
@@ -117,16 +126,27 @@ class GroupedCrossAttention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
 
         m = r // n
-        q = q.reshape(m, n, f, self.heads, self.dim_head).transpose(1, 0, 2, 3, 4)
         k = k.reshape(n, -1, self.heads, self.dim_head)
         v = v.reshape(n, -1, self.heads, self.dim_head)
+
+        inv = None
+        if clips == 1:
+            q = q.reshape(m, n, f, self.heads, self.dim_head).transpose(1, 0, 2, 3, 4)
+        else:
+            # static permutation grouping rows by their context (each of the
+            # n contexts serves exactly m rows — the mapping is balanced)
+            order, inv = _clip_exact_order(r, n, clips)
+            q = q[order].reshape(n, m, f, self.heads, self.dim_head)
 
         logits = jnp.einsum(
             "cmfhd,ckhd->cmhfk", q, k, preferred_element_type=jnp.float32
         ).astype(jnp.float32) * (self.dim_head**-0.5)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("cmhfk,ckhd->cmfhd", probs, v)
-        out = out.transpose(1, 0, 2, 3, 4).reshape(r, f, inner)
+        if inv is None:
+            out = out.transpose(1, 0, 2, 3, 4).reshape(r, f, inner)
+        else:
+            out = out.reshape(r, f, inner)[inv]
         return nn.Dense(c, dtype=self.dtype, name="to_out")(out)
 
 
@@ -138,6 +158,29 @@ def _unfolded_temporal_enabled() -> bool:
     import os
 
     return os.environ.get("TTV_TEMPORAL_UNFOLDED", "0") == "1"
+
+
+def _clip_exact_order(r: int, n: int, clips: int):
+    """Static row permutation for the per-clip exact context mapping.
+
+    Rows ``r = b*s + p`` with batch rows ``b = j*clips + i`` (branch-major
+    blocks of ``clips`` independent clips); context index
+    ``((j*s + p) % mult) * clips + i`` — each clip's rows see the same
+    row->context pattern its solo run would, so co-batched clips cannot
+    leak into each other.  Every context serves exactly ``s`` rows (the
+    mapping is balanced), so grouping rows context-major turns the gather
+    back into dense per-context attention.  Returns (order, inverse)."""
+    import numpy as _np
+
+    s = r // n
+    mult = n // clips
+    rows = _np.arange(r)
+    b, p = rows // s, rows % s
+    i, j = b % clips, b // clips
+    ctx = ((j * s + p) % mult) * clips + i
+    order = _np.argsort(ctx, kind="stable")
+    inv = _np.argsort(order)
+    return jnp.asarray(order), jnp.asarray(inv)
 
 
 class FrameAxisAttention(nn.Module):
@@ -183,9 +226,11 @@ class GroupedCrossAttentionUnfolded(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ctx: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ctx: jnp.ndarray,
+                 clips: int = 1) -> jnp.ndarray:
         b, f, s, c = x.shape
         n = ctx.shape[0]
+        mult = n // clips
         inner = self.heads * self.dim_head
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
@@ -198,7 +243,11 @@ class GroupedCrossAttentionUnfolded(nn.Module):
         ).astype(jnp.float32) * (self.dim_head**-0.5)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("nbshfk,nkhd->nbfshd", probs, v)
-        sel = (jnp.arange(b)[:, None] * s + jnp.arange(s)[None, :]) % n  # [b, s]
+        # per-clip exact mapping (== the reference r % n quirk at clips=1;
+        # see GroupedCrossAttention / _clip_exact_order)
+        bb = jnp.arange(b)[:, None]
+        pp = jnp.arange(s)[None, :]
+        sel = ((bb // clips * s + pp) % mult) * clips + bb % clips  # [b, s]
         onehot = jax.nn.one_hot(sel, n, dtype=out.dtype)
         out = jnp.einsum("nbfshd,bsn->bfshd", out, onehot)
         return nn.Dense(c, dtype=self.dtype, name="to_out")(
@@ -230,6 +279,7 @@ class TemporalBasicTransformerBlock(nn.Module):
         x: jnp.ndarray,
         num_frames: int,
         context: Optional[jnp.ndarray] = None,  # [B, S_kv, D] compact
+        clips: int = 1,
     ) -> jnp.ndarray:
         bf, s, c = x.shape
         b = bf // num_frames
@@ -244,7 +294,7 @@ class TemporalBasicTransformerBlock(nn.Module):
             if self.cross_attention_dim is not None:
                 h = h + GroupedCrossAttentionUnfolded(
                     self.heads, self.dim_head, dtype=self.dtype, name="attn2"
-                )(LayerNorm(name="norm2")(h), context)
+                )(LayerNorm(name="norm2")(h), context, clips=clips)
             h = h + FeedForward(dtype=self.dtype, name="ff")(LayerNorm(name="norm3")(h))
             return h.reshape(bf, s, c)
 
@@ -269,9 +319,10 @@ class TemporalBasicTransformerBlock(nn.Module):
                 self.heads, self.dim_head, dtype=self.dtype, name="attn2"
             )
             if fused_ln():
-                h = h + attn2(h, context, ln=_LNParams(name="norm2")(c))
+                h = h + attn2(h, context, ln=_LNParams(name="norm2")(c),
+                              clips=clips)
             else:
-                h = h + attn2(LayerNorm(name="norm2")(h), context)
+                h = h + attn2(LayerNorm(name="norm2")(h), context, clips=clips)
         if fused_ln():
             h = h + FeedForward(dtype=self.dtype, name="ff")(h, ln=_LNParams(name="norm3")(c))
         else:
@@ -285,6 +336,10 @@ class TransformerSpatioTemporalModel(nn.Module):
     dim_head: int
     num_layers: int = 1
     cross_attention_dim: Optional[int] = None
+    # independent clips in the batch: 1 = whole batch one group (the
+    # reference CFG-pair quirk, required for weight parity); serving /
+    # batch>1 training set it to the clip count for per-clip exact mapping
+    context_clips: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -331,7 +386,7 @@ class TransformerSpatioTemporalModel(nn.Module):
                 cross_attention_dim=self.cross_attention_dim,
                 dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{i}",
-            )(h + emb, f, time_context)
+            )(h + emb, f, time_context, clips=self.context_clips)
             h = AlphaBlender(merge_strategy="learned_with_images", name="time_mixer")(
                 h, h_mix, image_only_indicator
             )

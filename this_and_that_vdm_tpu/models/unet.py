@@ -108,6 +108,8 @@ class UNetSpatioTemporalConditionModel(nn.Module):
         added_time_ids: jnp.ndarray,  # [B, 3]
         down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        context_clips: int = 1,  # independent clips in the batch; 1 = whole
+        # batch one group (reference CFG-pair quirk, see transformer.py)
     ) -> jnp.ndarray:
         cfg = self.config
         b, f = sample.shape[:2]
@@ -161,6 +163,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     num_layers=cfg.layers_per_block,
                     transformer_layers=cfg.transformer_layers_per_block,
                     cross_attention_dim=cfg.cross_attention_dim,
+                    context_clips=context_clips,
                     add_downsample=not is_final,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
@@ -184,6 +187,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             heads=cfg.num_attention_heads[-1],
             transformer_layers=cfg.transformer_layers_per_block,
             cross_attention_dim=cfg.cross_attention_dim,
+            context_clips=context_clips,
             dtype=self.dtype,
             name="mid_block",
         )(x, temb, context, image_only_indicator)
@@ -205,6 +209,7 @@ class UNetSpatioTemporalConditionModel(nn.Module):
                     num_layers=n_res,
                     transformer_layers=cfg.transformer_layers_per_block,
                     cross_attention_dim=cfg.cross_attention_dim,
+                    context_clips=context_clips,
                     add_upsample=not is_final,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",

@@ -67,6 +67,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
     num_layers: int = 2
     transformer_layers: int = 1
     cross_attention_dim: int = 1024
+    context_clips: int = 1  # independent clips in the batch (see transformer.py)
     add_downsample: bool = True
     dtype: Dtype = jnp.float32
 
@@ -82,6 +83,7 @@ class CrossAttnDownBlockSpatioTemporal(nn.Module):
                 self.out_channels // self.heads,
                 num_layers=self.transformer_layers,
                 cross_attention_dim=self.cross_attention_dim,
+                context_clips=self.context_clips,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, context, image_only_indicator)
@@ -102,6 +104,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
     heads: int
     transformer_layers: int = 1
     cross_attention_dim: int = 1024
+    context_clips: int = 1  # independent clips in the batch (see transformer.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -115,6 +118,7 @@ class UNetMidBlockSpatioTemporal(nn.Module):
             c // self.heads,
             num_layers=self.transformer_layers,
             cross_attention_dim=self.cross_attention_dim,
+            context_clips=self.context_clips,
             dtype=self.dtype,
             name="attentions_0",
         )(x, context, image_only_indicator)
@@ -156,6 +160,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
     num_layers: int = 3
     transformer_layers: int = 1
     cross_attention_dim: int = 1024
+    context_clips: int = 1  # independent clips in the batch (see transformer.py)
     add_upsample: bool = True
     dtype: Dtype = jnp.float32
 
@@ -173,6 +178,7 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
                 self.out_channels // self.heads,
                 num_layers=self.transformer_layers,
                 cross_attention_dim=self.cross_attention_dim,
+                context_clips=self.context_clips,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )(x, context, image_only_indicator)

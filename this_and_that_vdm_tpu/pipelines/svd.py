@@ -206,7 +206,13 @@ class StableVideoDiffusionPipeline:
                 inp = jnp.concatenate([inp, img_lat], axis=-1)
                 inp = self._constrain_cfg(inp)
                 pred = self.unet.apply(
-                    unet_params, inp, timesteps[i], states_cfg, added_time_ids_cfg
+                    unet_params, inp, timesteps[i], states_cfg,
+                    added_time_ids_cfg,
+                    # b independent clips in the CFG-folded batch: per-clip
+                    # exact temporal-context mapping — each clip's result is
+                    # bit-equal to its solo run (b=1 keeps the reference's
+                    # CFG-pair quirk; see models/transformer.py)
+                    context_clips=b,
                 )
                 uncond, cond = jnp.split(pred, 2, axis=0)
                 pred = uncond + guidance * (cond - uncond)

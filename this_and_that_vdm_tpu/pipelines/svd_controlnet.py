@@ -81,10 +81,16 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
                 unet_params, cn_params = baked
             img_lat = jnp.repeat(image_latents_cfg[:, None], num_frames, axis=1)
             b = noise.shape[0]
-            # condition latents: [B, F, h, w, 4]; guess_mode runs controlnet on
-            # the cond half only, otherwise duplicated across the CFG batch
+            # condition latents: [F, h, w, 4] shared across the clip batch
+            # (reference API) or [B, F, h, w, 4] per-request (serving);
+            # guess_mode runs controlnet on the cond half only, otherwise
+            # duplicated across the CFG batch
             cn_batch = 1 if (guess_mode and mult > 1) else mult
-            cn_cond = jnp.tile(cond_latents[None], (b * cn_batch, 1, 1, 1, 1))
+            if cond_latents.ndim == 4:
+                cn_cond = jnp.tile(cond_latents[None], (b * cn_batch, 1, 1, 1, 1))
+            else:
+                # CFG layout is branch-major blocks of B ([uncond(B); cond(B)])
+                cn_cond = jnp.tile(cond_latents, (cn_batch, 1, 1, 1, 1))
             cn_cond = self._constrain_cfg(cn_cond, cfg_fold=cn_batch)
 
             def body(latents, i):
@@ -102,6 +108,7 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
                     res, mid = self.controlnet.apply(
                         cn_params, cn_inp, timesteps[i], cn_states,
                         cn_ids, cn_cond, conditioning_scale=scale, guess_mode=True,
+                        context_clips=b,
                     )
                     def pad_uncond(r):
                         # residuals go on the branch the ControlNet ran on:
@@ -119,13 +126,14 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
                     res, mid = self.controlnet.apply(
                         cn_params, inp, timesteps[i], states_cfg,
                         add_ids_cfg, cn_cond, conditioning_scale=scale,
-                        guess_mode=guess_mode,
+                        guess_mode=guess_mode, context_clips=b,
                     )
 
                 pred = self.unet.apply(
                     unet_params, inp, timesteps[i], states_cfg, add_ids_cfg,
                     down_block_additional_residuals=res,
                     mid_block_additional_residual=mid,
+                    context_clips=b,  # per-clip exact temporal-context map
                 )
                 if ip2p:
                     p_first, p_cond, p_uncond = jnp.split(pred, 3, axis=0)
@@ -182,9 +190,16 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
             self._cond_params(), image, ids, noise_img, mode
         )
 
-        cond_latents = self._encode_condition_img(
-            self.vae_params, jnp.asarray(condition_img, jnp.float32)
-        )
+        cond = jnp.asarray(condition_img, jnp.float32)
+        if cond.ndim == 5:
+            # per-request gestures [B, F, H, W, 3] (serving batches clips
+            # with different conditions); the reference API is the shared
+            # [F, H, W, 3] single-request form below
+            cl = self._encode_condition_img(
+                self.vae_params, cond.reshape((-1,) + cond.shape[2:]))
+            cond_latents = cl.reshape(cond.shape[:2] + cl.shape[1:])
+        else:
+            cond_latents = self._encode_condition_img(self.vae_params, cond)
 
         mult = 3 if use_instructpix2pix else 2
         add_ids = common.get_add_time_ids(

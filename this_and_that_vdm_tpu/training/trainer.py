@@ -200,7 +200,11 @@ def make_vl_train_step(
 
         add_ids = make_add_time_ids(cfg, batch["motion_bucket_id"])
 
-        pred = unet.apply(params, inp, timesteps, states, add_ids)
+        # every batch row is an independent clip (no CFG fold in training):
+        # per-sample temporal-context mapping (the reference trains at
+        # per-GPU batch 1 so its hw-major quirk never mixes samples there)
+        pred = unet.apply(params, inp, timesteps, states, add_ids,
+                          context_clips=inp.shape[0])
         loss = edm.edm_loss(pred, noisy, latents, sigmas)
         return loss
 
@@ -279,12 +283,14 @@ def make_vgl_train_step(
         add_ids = make_add_time_ids(cfg, batch["motion_bucket_id"])
 
         res, mid = controlnet.apply(
-            cn_params, cn_inp, timesteps, states, add_ids, gesture_lat
+            cn_params, cn_inp, timesteps, states, add_ids, gesture_lat,
+            context_clips=b,
         )
         pred = unet.apply(
             frozen["unet"], inp, timesteps, states, add_ids,
             down_block_additional_residuals=res,
             mid_block_additional_residual=mid,
+            context_clips=b,
         )
         return edm.edm_loss(pred, noisy, latents, sigmas)
 
