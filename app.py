@@ -41,10 +41,8 @@ def build_pipeline(pretrained=None, random_weights=False, dtype="bf16"):
     return _bp(args), _tokenizer(args)
 
 
-def run_generation(pipe, tokenize, image_rgb_uint8, points, prompt, seed=42,
-                   num_inference_steps=25):
-    """points: list of (x, y) in the displayed image's coordinates."""
-    import jax.random as jr
+def prepare_inputs(tokenize, image_rgb_uint8, points, prompt):
+    """Raster + resize + tokenize one request (points in display coords)."""
     from this_and_that_vdm_tpu.data.rasterize import rasterize_gesture_points
 
     oh, ow = image_rgb_uint8.shape[:2]
@@ -55,11 +53,24 @@ def run_generation(pipe, tokenize, image_rgb_uint8, points, prompt, seed=42,
     cond = rasterize_gesture_points(gesture, (oh, ow), (HEIGHT, WIDTH), FRAMES)
     img = cv2.resize(image_rgb_uint8, (WIDTH, HEIGHT), interpolation=cv2.INTER_CUBIC)
     img = img.astype(np.float32) / 127.5 - 1.0
+    return img, np.asarray(cond), np.asarray(tokenize(prompt)).reshape(-1)
+
+
+SAMPLING_DEFAULTS = dict(num_frames=FRAMES, motion_bucket_id=200,
+                         noise_aug_strength=0.1, decode_chunk_size=8,
+                         output_type="uint8")
+
+
+def run_generation(pipe, tokenize, image_rgb_uint8, points, prompt, seed=42,
+                   num_inference_steps=25):
+    """CLI one-shot path (direct pipeline call)."""
+    import jax.random as jr
+
+    img, cond, ids = prepare_inputs(tokenize, image_rgb_uint8, points, prompt)
     frames = pipe(
-        img[None], cond, prompt_ids=tokenize(prompt), num_frames=FRAMES,
-        num_inference_steps=num_inference_steps, motion_bucket_id=200,
-        noise_aug_strength=0.1, decode_chunk_size=8, key=jr.PRNGKey(seed),
-        output_type="uint8",
+        img[None], cond, prompt_ids=ids[None],
+        num_inference_steps=num_inference_steps, key=jr.PRNGKey(seed),
+        **SAMPLING_DEFAULTS,
     )
     return frames[0]  # [F, H, W, 3] uint8
 
@@ -73,7 +84,14 @@ def export_mp4(frames, path, fps=4):
 def launch_gradio(pretrained=None, random_weights=False):
     import gradio as gr
 
+    from this_and_that_vdm_tpu.serving import VideoGenServer
+
     pipe, tokenize = build_pipeline(pretrained, random_weights)
+    # resident micro-batching server: concurrent gradio users with the same
+    # resolution/steps share ONE pipeline invocation (serving/server.py) —
+    # vs the reference demo rebuilding every model per click (app.py:188-271)
+    server = VideoGenServer(pipe, max_batch=4, max_delay_s=0.25,
+                            **SAMPLING_DEFAULTS)
     POINT_COLORS = [(255, 0, 0), (0, 255, 0)]  # display RGB: this=red, that=green
 
     def on_select(img, points, evt: "gr.SelectData"):
@@ -92,9 +110,11 @@ def launch_gradio(pretrained=None, random_weights=False):
             raise gr.Error("upload an image first")
         if not points:
             raise gr.Error("click at least one gesture point")
-        frames = run_generation(pipe, tokenize, orig, points, prompt,
-                                int(seed), int(steps))
-        out = export_mp4(frames, "demo_output.mp4")
+        img, cond, ids = prepare_inputs(tokenize, orig, points, prompt)
+        fut = server.submit(img, condition=cond, prompt_ids=ids,
+                            seed=int(seed), num_inference_steps=int(steps))
+        frames = fut.result()
+        out = export_mp4(frames, f"demo_output_{int(seed)}.mp4")
         return out
 
     with gr.Blocks(title="This&That (TPU)") as demo:
@@ -114,7 +134,8 @@ def launch_gradio(pretrained=None, random_weights=False):
         image.select(on_select, [orig, points], [image, points])
         clear.click(on_clear, [orig], [image, points])
         run.click(on_run, [orig, points, prompt, seed, steps], [video])
-    demo.queue().launch()
+    # concurrency so simultaneous users reach the batcher together
+    demo.queue(default_concurrency_limit=4).launch()
 
 
 def main():

@@ -71,7 +71,6 @@ class VideoGenServer:
         self.max_delay_s = float(max_delay_s)
         self.default_sampling = default_sampling
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
-        self._pending: Dict[Tuple, list] = {}
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
