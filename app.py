@@ -15,6 +15,7 @@ Falls back to a CLI one-shot mode when gradio isn't installed:
 
 import argparse
 import os
+import tempfile
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -114,7 +115,11 @@ def launch_gradio(pretrained=None, random_weights=False):
         fut = server.submit(img, condition=cond, prompt_ids=ids,
                             seed=int(seed), num_inference_steps=int(steps))
         frames = fut.result()
-        out = export_mp4(frames, f"demo_output_{int(seed)}.mp4")
+        # unique output per run: concurrent users (queue concurrency 4) must
+        # not overwrite each other's mp4 while gradio serves it
+        fd, out_path = tempfile.mkstemp(prefix="demo_output_", suffix=".mp4")
+        os.close(fd)
+        out = export_mp4(frames, out_path)
         return out
 
     with gr.Blocks(title="This&That (TPU)") as demo:

@@ -51,7 +51,9 @@ def pipe():
     )
 
 
-SAMPLING = dict(num_frames=FR, num_inference_steps=1, noise_aug_strength=0.0)
+# noise_aug ON: the determinism claim covers BOTH noise draws (latents and
+# conditioning noise-aug), each from the request's own seed
+SAMPLING = dict(num_frames=FR, num_inference_steps=1, noise_aug_strength=0.1)
 
 
 def _req(i):
@@ -62,10 +64,9 @@ def _req(i):
 
 
 def _single(pipe, image, cond, seed):
-    lat = np.asarray(jr.normal(jr.PRNGKey(seed),
-                               (1, FR, H // 8, W // 8, 4), np.float32))
-    return pipe(image[None], cond, latents=lat, key=jr.PRNGKey(seed),
-                **SAMPLING)[0]
+    # plain solo call — no explicit latents/noise: the server must reproduce
+    # the pipeline's own key-split draws per request
+    return pipe(image[None], cond, key=jr.PRNGKey(seed), **SAMPLING)[0]
 
 
 def test_batched_results_match_single_requests(pipe):

@@ -172,6 +172,10 @@ def _clip_exact_order(r: int, n: int, clips: int):
     back into dense per-context attention.  Returns (order, inverse)."""
     import numpy as _np
 
+    if r % n or n % clips:
+        raise ValueError(
+            f"context_clips={clips} must divide the {n} contexts and rows "
+            f"({r}) must fold evenly — got a non-divisible batch layout")
     s = r // n
     mult = n // clips
     rows = _np.arange(r)
@@ -230,6 +234,8 @@ class GroupedCrossAttentionUnfolded(nn.Module):
                  clips: int = 1) -> jnp.ndarray:
         b, f, s, c = x.shape
         n = ctx.shape[0]
+        if n % clips:
+            raise ValueError(f"context_clips={clips} must divide {n} contexts")
         mult = n // clips
         inner = self.heads * self.dim_head
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)

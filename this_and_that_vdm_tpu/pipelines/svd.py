@@ -255,6 +255,9 @@ class StableVideoDiffusionPipeline:
         decode_chunk_size: Optional[int] = None,
         key: Optional[jax.Array] = None,
         latents: Optional[jnp.ndarray] = None,
+        image_noise: Optional[np.ndarray] = None,  # [B, H, W, 3] std-normal;
+        # overrides the key-drawn conditioning noise-aug sample (serving:
+        # per-request determinism inside a micro-batch)
         output_type: str = "np",
     ):
         b, h, w = image.shape[0], image.shape[1], image.shape[2]
@@ -263,7 +266,9 @@ class StableVideoDiffusionPipeline:
         k_img, k_lat = jax.random.split(key)
 
         image = jnp.asarray(image, jnp.float32)
-        noise_img = noise_aug_strength * jax.random.normal(k_img, image.shape, image.dtype)
+        noise_img = noise_aug_strength * (
+            jax.random.normal(k_img, image.shape, image.dtype)
+            if image_noise is None else jnp.asarray(image_noise, image.dtype))
         ids = None if prompt_ids is None else jnp.asarray(prompt_ids)
         image, noise_img, ids = self._maybe_shard(image, noise_img, ids)
         states_cfg, img_lat_cfg = self._encode_conditioning(self._cond_params(), image, ids, noise_img)

@@ -168,6 +168,7 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         decode_chunk_size: Optional[int] = None,
         key: Optional[jax.Array] = None,
         latents: Optional[jnp.ndarray] = None,
+        image_noise: Optional[np.ndarray] = None,  # [B, H, W, 3] std-normal
         controlnet_conditioning_scale: float = 1.0,
         control_guidance_start: float = 0.0,
         control_guidance_end: float = 1.0,
@@ -182,7 +183,9 @@ class StableVideoDiffusionControlNetPipeline(StableVideoDiffusionPipeline):
         k_img, k_lat = jax.random.split(key)
 
         image = jnp.asarray(image, jnp.float32)
-        noise_img = noise_aug_strength * jax.random.normal(k_img, image.shape, image.dtype)
+        noise_img = noise_aug_strength * (
+            jax.random.normal(k_img, image.shape, image.dtype)
+            if image_noise is None else jnp.asarray(image_noise, image.dtype))
         ids = None if prompt_ids is None else jnp.asarray(prompt_ids)
 
         mode = "ip2p" if use_instructpix2pix else "standard"

@@ -72,6 +72,7 @@ class VideoGenServer:
         self.default_sampling = default_sampling
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._closed = False
+        self._state_lock = threading.Lock()  # submit/close check-then-act
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -80,23 +81,26 @@ class VideoGenServer:
                prompt_ids: Optional[np.ndarray] = None, seed: int = 0,
                **sampling) -> Future:
         """Enqueue one clip request; returns a Future of [F, H, W, 3]."""
-        if self._closed:
-            raise RuntimeError("server is closed")
         merged = dict(self.default_sampling)
         merged.update(sampling)
         req = _Request(np.asarray(image), None if condition is None
                        else np.asarray(condition),
                        None if prompt_ids is None else np.asarray(prompt_ids),
                        int(seed), merged, Future())
-        self._queue.put(req)
+        with self._state_lock:  # no request may slip in behind the sentinel
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.put(req)
         return req.future
 
     def close(self, timeout: Optional[float] = 60.0):
         """Drain outstanding requests and stop the worker."""
-        if not self._closed:
+        with self._state_lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._worker.join(timeout)
+        self._worker.join(timeout)
 
     def __enter__(self):
         return self
@@ -122,7 +126,15 @@ class VideoGenServer:
         to ``max_delay_s`` (or until ``max_batch``)."""
         req = self._queue.get()
         if req is None:
-            return None
+            # shutdown sentinel — but a mixed-bucket request re-queued by an
+            # earlier round may sit BEHIND it; serve leftovers before exiting
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return None
+            if req is None:  # close() enqueues exactly one sentinel
+                return None
+            self._queue.put(None)  # keep the sentinel behind the leftovers
         bucket = self._bucket(req)
         batch = [req]
         deadline = _now() + self.max_delay_s
@@ -157,19 +169,32 @@ class VideoGenServer:
                         r.future.set_exception(e)
 
     def _execute(self, batch):
+        # claim the futures: a request whose caller cancelled while queued is
+        # dropped here; afterwards cancel() can no longer race set_result
+        batch = [r for r in batch if r.future.set_running_or_notify_cancel()]
+        if not batch:
+            return
         sampling = dict(batch[0].sampling)
         num_frames = int(sampling.get("num_frames", 14))
         h, w = batch[0].image.shape[0], batch[0].image.shape[1]
         images = np.stack([r.image for r in batch])
-        # per-request determinism: the initial latent noise comes from each
-        # request's own seed (a single-key batch draw would entangle results
-        # with their co-batched neighbours)
-        latents = np.concatenate([
-            np.asarray(jr.normal(jr.PRNGKey(r.seed),
-                                 (1, num_frames, h // 8, w // 8, 4), np.float32))
-            for r in batch
+        # per-request determinism: BOTH noise draws come from each request's
+        # own seed, split exactly like the pipeline splits its ``key``
+        # (k_img, k_lat) — so a batched result equals the same request served
+        # alone with key=PRNGKey(seed), including the conditioning noise-aug
+        # (a single-key batch draw would entangle co-batched neighbours)
+        keys = [jr.split(jr.PRNGKey(r.seed)) for r in batch]
+        image_noise = np.concatenate([
+            np.asarray(jr.normal(k_img, (1, h, w, 3), np.float32))
+            for (k_img, _) in keys
         ])
-        kwargs = dict(sampling, latents=latents, key=jr.PRNGKey(batch[0].seed))
+        latents = np.concatenate([
+            np.asarray(jr.normal(k_lat,
+                                 (1, num_frames, h // 8, w // 8, 4), np.float32))
+            for (_, k_lat) in keys
+        ])
+        kwargs = dict(sampling, latents=latents, image_noise=image_noise,
+                      key=jr.PRNGKey(batch[0].seed))
         if batch[0].prompt_ids is not None:
             kwargs["prompt_ids"] = np.stack([r.prompt_ids for r in batch])
         if batch[0].condition is not None:
