@@ -292,4 +292,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # BENCH_PROFILE=<logdir>: wrap the whole run in a jax.profiler trace
+    # (TensorBoard-viewable xplane; utils/profiling.py) — how the PERF.md
+    # per-category step breakdowns were captured.
+    _logdir = os.environ.get("BENCH_PROFILE")
+    if _logdir:
+        from this_and_that_vdm_tpu.utils.profiling import trace
+
+        with trace(_logdir):
+            main()
+    else:
+        main()
