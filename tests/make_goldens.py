@@ -89,11 +89,68 @@ def make_vae():
     )
 
 
+def make_pipeline_self():
+    """Pin the FLAX pipeline's own end-to-end latents (self-golden).
+
+    Not an oracle fixture: the module-level goldens above anchor parity; this
+    pins the full VL generation (conditioning encode -> 2-step EDM scan with
+    CFG -> latents) so regressions in the scheduler/CFG/glue code trip a test
+    without torch in the loop.  Weights come from the pinned unet/vae state
+    dicts; the CLIP vision tower is flax-initialised at a fixed PRNGKey
+    (jax's threefry PRNG is stable across releases)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from this_and_that_vdm_tpu.models.unet import (
+        UNetSpatioTemporalConditionModel, UNetConfig)
+    from this_and_that_vdm_tpu.models.vae import (
+        AutoencoderKLTemporalDecoder, VAEConfig)
+    from this_and_that_vdm_tpu.models.clip import (
+        CLIPVisionConfig, CLIPVisionModelWithProjection)
+    from this_and_that_vdm_tpu.pipelines.svd import StableVideoDiffusionPipeline
+    from this_and_that_vdm_tpu.weights.convert import torch_state_dict_to_flax
+
+    gu = np.load(os.path.join(GOLDEN_DIR, "unet_tiny.npz"))
+    gv = np.load(os.path.join(GOLDEN_DIR, "vae_tiny.npz"))
+    state = lambda g: {k[3:]: g[k] for k in g.files if k.startswith("sd.")}
+
+    unet = UNetSpatioTemporalConditionModel(UNetConfig.tiny())
+    vae = AutoencoderKLTemporalDecoder(VAEConfig.tiny())
+    vis = CLIPVisionModelWithProjection(
+        CLIPVisionConfig(hidden_size=32, num_layers=2, num_heads=4,
+                         intermediate_size=64, patch_size=56, image_size=224,
+                         projection_dim=48))
+    Hp, Wp, Fp = 64, 128, 3
+    pipe = StableVideoDiffusionPipeline(
+        unet=unet, vae=vae, image_encoder=vis,
+        unet_params=torch_state_dict_to_flax(state(gu)),
+        vae_params=torch_state_dict_to_flax(state(gv)),
+        image_encoder_params=vis.init(jr.PRNGKey(3),
+                                      jnp.zeros((1, 224, 224, 3))),
+    )
+    rng = np.random.RandomState(11)
+    image = rng.uniform(-1, 1, (1, Hp, Wp, 3)).astype(np.float32)
+    latents = rng.randn(1, Fp, Hp // 8, Wp // 8, 4).astype(np.float32)
+    image_noise = rng.randn(1, Hp, Wp, 3).astype(np.float32)
+    out = pipe(image, num_frames=Fp, num_inference_steps=2,
+               noise_aug_strength=0.05, latents=jnp.asarray(latents),
+               image_noise=image_noise, key=jr.PRNGKey(0),
+               output_type="latent")
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "pipeline_self.npz"),
+        image=image, latents=latents, image_noise=image_noise,
+        out=np.asarray(out))
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     make_unet()
     make_controlnet()
     make_vae()
+    make_pipeline_self()
     sizes = {f: os.path.getsize(os.path.join(GOLDEN_DIR, f)) // 1024
              for f in sorted(os.listdir(GOLDEN_DIR))}
     print("goldens written:", sizes, "KiB")

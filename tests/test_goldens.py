@@ -102,3 +102,40 @@ def test_flax_vae_matches_golden():
     dec = vae.apply(params, zj, method="decode")
     dec = np.asarray(dec).reshape(3, 32, 48, 3).transpose(0, 3, 1, 2)
     assert np.allclose(dec, g["dec"], atol=5e-5), np.abs(dec - g["dec"]).max()
+
+
+def test_flax_pipeline_matches_self_golden():
+    """End-to-end VL generation pinned against the repo's OWN output
+    (self-golden, not oracle parity — the module goldens above anchor
+    parity): regressions in the scheduler, CFG combine, conditioning glue
+    or decode chunking trip here without torch in the loop."""
+    import jax.numpy as jnp
+    import jax.random as jr
+
+    from this_and_that_vdm_tpu.models.clip import (
+        CLIPVisionConfig, CLIPVisionModelWithProjection)
+    from this_and_that_vdm_tpu.pipelines.svd import StableVideoDiffusionPipeline
+
+    g = _load("pipeline_self.npz")
+    gu, gv = _load("unet_tiny.npz"), _load("vae_tiny.npz")
+    unet = UNetSpatioTemporalConditionModel(UNetConfig.tiny())
+    vae = AutoencoderKLTemporalDecoder(VAEConfig.tiny())
+    vis = CLIPVisionModelWithProjection(
+        CLIPVisionConfig(hidden_size=32, num_layers=2, num_heads=4,
+                         intermediate_size=64, patch_size=56, image_size=224,
+                         projection_dim=48))
+    pipe = StableVideoDiffusionPipeline(
+        unet=unet, vae=vae, image_encoder=vis,
+        unet_params=torch_state_dict_to_flax(_state(gu)),
+        vae_params=torch_state_dict_to_flax(_state(gv)),
+        image_encoder_params=vis.init(jr.PRNGKey(3),
+                                      jnp.zeros((1, 224, 224, 3))),
+    )
+    out = pipe(g["image"], num_frames=int(g["latents"].shape[1]),
+               num_inference_steps=2, noise_aug_strength=0.05,
+               latents=jnp.asarray(g["latents"]), image_noise=g["image_noise"],
+               key=jr.PRNGKey(0), output_type="latent")
+    # 5e-4: the golden was generated without the test env's virtual
+    # 8-device flag, which changes XLA:CPU fusion order (~2e-4 noise);
+    # real regressions (scheduler/CFG/glue) move latents by >>1e-3
+    np.testing.assert_allclose(np.asarray(out), g["out"], atol=5e-4)
