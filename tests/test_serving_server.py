@@ -116,3 +116,45 @@ def test_mixed_buckets_split_and_errors_propagate(pipe):
     server.close()
     with pytest.raises(RuntimeError):
         server.submit(img, condition=cond)
+
+
+@pytest.mark.slow
+def test_concurrent_submitters_soak(pipe):
+    """12 requests from 4 threads, mixed buckets + a mid-stream cancel +
+    close() racing the last submits: every future resolves or errors, none
+    hangs (shutdown-sentinel and cancellation hardening)."""
+    import threading
+
+    img, cond = _req(0)
+    server = VideoGenServer(pipe, max_batch=4, max_delay_s=0.1, **SAMPLING)
+    futs, errs = [], []
+    lock = threading.Lock()
+
+    def submitter(tid):
+        for i in range(3):
+            try:
+                f = server.submit(img, condition=cond, seed=tid * 10 + i,
+                                  num_inference_steps=1 + (tid % 2))
+                with lock:
+                    futs.append(f)
+            except RuntimeError as e:  # close() may win the race — fine
+                with lock:
+                    errs.append(e)
+
+    threads = [threading.Thread(target=submitter, args=(t,)) for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if futs:
+        futs[0].cancel()  # may or may not win; either way nothing hangs
+    server.close(timeout=1200)
+    done = 0
+    for f in futs:
+        if f.cancelled():
+            continue
+        out = f.result(timeout=600)  # resolved results have the right shape
+        assert out.shape == (FR, H, W, 3)
+        done += 1
+    assert done + len(errs) >= 1  # at least some work flowed through
+    assert all(f.done() for f in futs)  # NOTHING left pending after close
