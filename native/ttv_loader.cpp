@@ -21,12 +21,14 @@
 
 namespace {
 
-void decode_one(const char* path, int height, int width, int flip,
+// Returns false when the image cannot be decoded (caller reports the index
+// instead of training on silently zero-filled frames).
+bool decode_one(const char* path, int height, int width, int flip,
                 float scale, float shift, float* out) {
   cv::Mat img = cv::imread(path, cv::IMREAD_COLOR);  // BGR
   if (img.empty()) {
     std::memset(out, 0, sizeof(float) * 3 * height * width);
-    return;
+    return false;
   }
   cv::cvtColor(img, img, cv::COLOR_BGR2RGB);
   cv::Mat resized;
@@ -35,6 +37,7 @@ void decode_one(const char* path, int height, int width, int flip,
   cv::Mat f32;
   resized.convertTo(f32, CV_32FC3, scale, shift);
   std::memcpy(out, f32.ptr<float>(0), sizeof(float) * 3 * height * width);
+  return true;
 }
 
 void run_pool(int n, int num_threads,
@@ -56,26 +59,35 @@ extern "C" {
 
 // Decode n images into out [n, height, width, 3] float32 in [-1, 1].
 // paths: array of n C strings. flip: per-batch horizontal flip flag.
-// Returns 0 on success.
+// Returns 0 on success, or (1 + first failing index) when any image could
+// not be decoded — the Python binding raises, matching the cv2 path's
+// behavior instead of silently training on zero-filled frames.
 int ttv_load_frames(const char** paths, int n, int height, int width,
                     int flip, int num_threads, float* out) {
   const float scale = 1.0f / 127.5f;
   const float shift = -1.0f;
+  std::atomic<int> first_bad{n};
   run_pool(n, num_threads, [&](int i) {
-    decode_one(paths[i], height, width, flip, scale, shift,
-               out + static_cast<size_t>(i) * 3 * height * width);
+    if (!decode_one(paths[i], height, width, flip, scale, shift,
+                    out + static_cast<size_t>(i) * 3 * height * width)) {
+      int cur = first_bad.load();
+      while (i < cur && !first_bad.compare_exchange_weak(cur, i)) {}
+    }
   });
-  return 0;
+  return first_bad.load() == n ? 0 : 1 + first_bad.load();
 }
 
 // Raw uint8 RGB variant (for the demo/eval tools): out [n, h, w, 3] uint8.
 int ttv_load_frames_u8(const char** paths, int n, int height, int width,
                        int flip, int num_threads, unsigned char* out) {
+  std::atomic<int> first_bad{n};
   run_pool(n, num_threads, [&](int i) {
     cv::Mat img = cv::imread(paths[i], cv::IMREAD_COLOR);
     size_t stride = static_cast<size_t>(3) * height * width;
     if (img.empty()) {
       std::memset(out + i * stride, 0, stride);
+      int cur = first_bad.load();
+      while (i < cur && !first_bad.compare_exchange_weak(cur, i)) {}
       return;
     }
     cv::cvtColor(img, img, cv::COLOR_BGR2RGB);
@@ -84,7 +96,7 @@ int ttv_load_frames_u8(const char** paths, int n, int height, int width,
     if (flip) cv::flip(resized, resized, 1);
     std::memcpy(out + i * stride, resized.ptr<unsigned char>(0), stride);
   });
-  return 0;
+  return first_bad.load() == n ? 0 : 1 + first_bad.load();
 }
 
 }  // extern "C"

@@ -95,8 +95,9 @@ def test_flip_suppressed_for_directional_prompts(tmp_path):
         dataset_path=[str(tmp_path / "v")], height=8, width=8, flip_aug_prob=1.0
     )
     ds = bridge.VideoDataset(cfg, lambda s: np.zeros((4,), np.int32))
-    assert ds._flip("move the cup to the left") is False
-    assert ds._flip("move the cup onto the towel") is True
+    import random as _random
+    assert ds._flip("move the cup to the left", _random.Random(0)) is False
+    assert ds._flip("move the cup onto the towel", _random.Random(0)) is True
 
 
 class _IndexDataset:
@@ -131,3 +132,72 @@ def test_prefetch_loader_reshuffles_per_epoch_and_is_deterministic():
     assert _batch_order(loader2) == epoch0
     loader1w = bridge.PrefetchLoader(ds, batch_size=4, num_workers=1, seed=7)
     assert _batch_order(loader1w) == epoch0
+
+
+def _mk_instances(root, n_inst=6, asym=True):
+    for k in range(n_inst):
+        d = root / f"{k:06d}"
+        os.makedirs(d)
+        for i in range(14):
+            img = np.zeros((8, 8, 3), np.uint8)
+            if asym:
+                img[:, :4] = 30 + 10 * k  # left/right asymmetric: flips visible
+            cv2.imwrite(str(d / f"im_{i}.jpg"), img)
+        (d / "lang.txt").write_text(f"move object {k}\n")
+
+
+def test_multiworker_augmentation_deterministic(tmp_path):
+    """Augmentation draws are (seed, epoch, index)-pure: two runs with the
+    same seeds produce identical batch CONTENTS (incl. flips) regardless of
+    worker-thread scheduling (round-2 review: a shared RNG stream made
+    flips scheduling-dependent)."""
+    _mk_instances(tmp_path / "v")
+    cfg = bridge.DataConfig(dataset_path=[str(tmp_path / "v")], height=8,
+                            width=8, flip_aug_prob=0.5)
+
+    def run():
+        ds = bridge.VideoDataset(cfg, lambda s: np.zeros((4,), np.int32), seed=3)
+        loader = bridge.PrefetchLoader(ds, batch_size=2, num_workers=4, seed=5)
+        return [np.asarray(b["video_frames"]) for b in loader]
+
+    a, b = run(), run()
+    assert len(a) == len(b) == 3
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_worker_error_propagates_not_hangs(tmp_path):
+    """A failing dataset item must raise in the consumer (the torch
+    DataLoader contract), not leave the loader blocked forever on a dead
+    worker (round-2 review)."""
+    _mk_instances(tmp_path / "v", n_inst=4, asym=False)
+    cfg = bridge.DataConfig(dataset_path=[str(tmp_path / "v")], height=8, width=8)
+    ds = bridge.VideoDataset(cfg, lambda s: np.zeros((4,), np.int32))
+    # corrupt one image AFTER the validity scan
+    (tmp_path / "v" / "000002" / "im_3.jpg").write_bytes(b"not a jpeg")
+    loader = bridge.PrefetchLoader(ds, batch_size=1, num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        for _ in loader:
+            pass
+
+
+def test_loader_early_break_releases_workers(tmp_path):
+    """Abandoning the iterator mid-epoch unwinds the worker threads (no
+    decoded batches pinned for the process lifetime)."""
+    import threading
+
+    _mk_instances(tmp_path / "v", n_inst=6, asym=False)
+    cfg = bridge.DataConfig(dataset_path=[str(tmp_path / "v")], height=8, width=8)
+    ds = bridge.VideoDataset(cfg, lambda s: np.zeros((4,), np.int32))
+    before = threading.active_count()
+    loader = bridge.PrefetchLoader(ds, batch_size=1, num_workers=3, seed=0)
+    for _ in loader:
+        break  # abandon mid-epoch; generator GC runs the finally cleanup
+    import gc
+    gc.collect()
+    deadline = 10.0
+    import time
+    t0 = time.monotonic()
+    while threading.active_count() > before and time.monotonic() - t0 < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before

@@ -37,6 +37,10 @@ def test_native_flip_matches_fliplr():
 
 
 @pytest.mark.skipif(not native_loader.available(), reason="libttv_loader not built")
-def test_native_missing_file_zero_fill():
-    got = native_loader.load_frames_native(["/nonexistent.jpg"], (8, 8))
-    assert np.array_equal(got, np.zeros((1, 8, 8, 3), np.float32))
+def test_native_decode_failure_raises():
+    """Decode failures must RAISE with the failing path (round-2 review:
+    silent zero-fill meant training on mid-gray frames with no trace)."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="nonexistent"):
+        native_loader.load_frames_native(["/nonexistent.jpg"], (8, 8))

@@ -169,3 +169,13 @@ def test_controlnet_from_unet_seeding(oracle_and_params):
         unet_params["params"]["time_embedding"]["linear_1"]["kernel"],
     )
     assert (seeded["params"]["controlnet_mid_block"]["kernel"] == 0).all()
+    # add_embedding stays at its FRESH init: the reference from_unet
+    # (temporal_controlnet.py:331-337) does NOT copy it (round-2 review)
+    assert not np.array_equal(
+        seeded["params"]["add_embedding"]["linear_1"]["kernel"],
+        unet_params["params"]["add_embedding"]["linear_1"]["kernel"],
+    )
+    assert np.array_equal(
+        seeded["params"]["add_embedding"]["linear_1"]["kernel"],
+        init["params"]["add_embedding"]["linear_1"]["kernel"],
+    )

@@ -124,6 +124,11 @@ def scan_valid_instances(cfg: DataConfig, require_gesture: bool = False) -> List
             if require_gesture and "data.txt" not in files:
                 stats["no_data_txt"] = stats.get("no_data_txt", 0) + 1
                 continue
+            if cfg.motion_bucket_id is None and "flow.txt" not in files:
+                # flow-derived motion path needs per-video flow stats
+                # (reference 'valid check 3', video_dataset.py:175-184)
+                stats["no_flow_txt"] = stats.get("no_flow_txt", 0) + 1
+                continue
             valid.append(path)
     if stats:
         print("dataset scan rejects:", stats)
@@ -146,7 +151,7 @@ def ambiguous_prompt(prompt: str) -> str:
     test_code/inference.py:100-102).  Lives beside the training mixture in
     ``_read_prompt`` so the two prompt-rewriting rules stay in one module
     (the reference duplicates them across test_code/ and data_loader/)."""
-    words = prompt.strip().split(" ")
+    words = prompt.split()  # split() (not split(" ")) so "" -> [] -> default
     return (words[0] if words else "move") + " this to there"
 
 
@@ -171,29 +176,50 @@ def _read_prompt(cfg: DataConfig, path: str, rng: random.Random) -> str:
 
 
 class VideoDataset:
-    """VL training dataset: frames + tokenized prompt + motion bucket."""
+    """VL training dataset: frames + tokenized prompt + motion bucket.
+
+    Augmentation draws are a pure function of (seed, epoch, index) — a
+    per-item ``random.Random`` rather than one shared stream, because
+    PrefetchLoader workers call ``__getitem__`` concurrently and a shared
+    stream would make flips/prompt mixing depend on thread scheduling.
+    ``set_epoch`` (called by PrefetchLoader each epoch, like torch's
+    DistributedSampler contract) re-rolls the augmentations per epoch."""
 
     def __init__(self, cfg: DataConfig, tokenize: Callable[[str], np.ndarray],
                  seed: int = 42):
         self.cfg = cfg
         self.tokenize = tokenize
         self.paths = scan_valid_instances(cfg)
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
+
+    def _item_rng(self, idx: int) -> random.Random:
+        # hash of an int tuple is deterministic across processes
+        # (PYTHONHASHSEED only randomises str/bytes hashing)
+        return random.Random(hash((self.seed, self.epoch, idx)))
 
     def __len__(self):
         return len(self.paths)
 
-    def _flip(self, prompt: str) -> bool:
-        if self.rng.random() >= self.cfg.flip_aug_prob:
+    def _flip(self, prompt: str, rng: random.Random) -> bool:
+        if rng.random() >= self.cfg.flip_aug_prob:
             return False
         if self.cfg.use_text and ("left" in prompt or "right" in prompt):
             return False
         return True
 
     def __getitem__(self, idx: int) -> dict:
+        rng = self._item_rng(idx)
         path = self.paths[idx]
-        prompt = self._read_or_empty_prompt(path)
-        flip = self._flip(prompt)
+        prompt = _read_prompt(self.cfg, path, rng)
+        # flip suppression checks the REAL caption (reference blanks tokens
+        # only, video_dataset.py:88-109 vs :292-299) — blank AFTER deciding
+        flip = self._flip(prompt, rng)
+        if rng.random() < self.cfg.empty_prompts_proportion:
+            prompt = ""
         n = _count_frames(path)
         indices = subsample_indices(n, self.cfg.video_seq_length)
         frames = load_frames(path, indices, (self.cfg.height, self.cfg.width), flip,
@@ -204,11 +230,6 @@ class VideoDataset:
             motion_bucket_id=np.float32(_motion_bucket(self.cfg, path)),
         )
 
-    def _read_or_empty_prompt(self, path: str) -> str:
-        if self.rng.random() < self.cfg.empty_prompts_proportion:
-            return ""
-        return _read_prompt(self.cfg, path, self.rng)
-
 
 class VideoThisThatDataset(VideoDataset):
     """VGL dataset: adds the rasterised gesture condition; frames are the
@@ -218,12 +239,16 @@ class VideoThisThatDataset(VideoDataset):
         self.cfg = cfg
         self.tokenize = tokenize
         self.paths = scan_valid_instances(cfg, require_gesture=True)
-        self.rng = random.Random(seed)
+        self.seed = seed
+        self.epoch = 0
 
     def __getitem__(self, idx: int) -> dict:
+        rng = self._item_rng(idx)
         path = self.paths[idx]
-        prompt = self._read_or_empty_prompt(path)
-        flip = self._flip(prompt)
+        prompt = _read_prompt(self.cfg, path, rng)
+        flip = self._flip(prompt, rng)
+        if rng.random() < self.cfg.empty_prompts_proportion:
+            prompt = ""
         indices = list(range(self.cfg.video_seq_length))
         frames = load_frames(path, indices, (self.cfg.height, self.cfg.width), flip,
                              normalized=True)
@@ -240,6 +265,20 @@ class VideoThisThatDataset(VideoDataset):
             condition=cond,  # [F, H, W, 3] in [0, 1]
             controlnet_image_index=np.asarray(ctrl_idx, np.int32),
         )
+
+
+class _WorkerError:
+    """Wraps an exception raised inside a PrefetchLoader worker so the
+    consumer re-raises it (the worker cannot raise across threads)."""
+
+    def __init__(self, exc: Exception):
+        self.exc = exc
+
+
+def _monotonic() -> float:
+    import time
+
+    return time.monotonic()
 
 
 class PrefetchLoader:
@@ -262,6 +301,8 @@ class PrefetchLoader:
         # Fresh permutation per epoch (the torch DataLoader reshuffles each
         # epoch, train_svd.py:480-485) — seed + epoch keeps it reproducible.
         epoch, self._epoch = self._epoch, self._epoch + 1
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)  # re-roll per-item augmentations
         order = np.random.RandomState(self.seed + epoch).permutation(len(self.dataset))
         q: queue_mod.Queue = queue_mod.Queue(maxsize=2 * self.num_workers)
         batches = [
@@ -278,10 +319,13 @@ class PrefetchLoader:
         # ``pending`` without limit (whole-epoch host OOM on video batches).
         max_ahead = 2 * self.num_workers
         tickets = threading.Semaphore(max_ahead)
+        stop = threading.Event()  # consumer gone / worker failed: unwind
 
         def worker():
             while True:
                 tickets.acquire()
+                if stop.is_set():
+                    return
                 with lock:
                     job = next(it, None)
                 if job is None:
@@ -289,12 +333,19 @@ class PrefetchLoader:
                     q.put((None, SENTINEL))
                     return
                 bidx, idxs = job
-                items = [self.dataset[int(i)] for i in idxs]
-                batch = {
-                    k: np.stack([it_[k] for it_ in items])
-                    for k in items[0]
-                    if k not in self.drop_keys
-                }
+                try:
+                    items = [self.dataset[int(i)] for i in idxs]
+                    batch = {
+                        k: np.stack([it_[k] for it_ in items])
+                        for k in items[0]
+                        if k not in self.drop_keys
+                    }
+                except Exception as e:  # noqa: BLE001 — surface, don't hang
+                    # the torch DataLoader this replaces PROPAGATES worker
+                    # errors; a silently-dead worker here would leave the
+                    # consumer blocked in q.get() forever
+                    q.put((bidx, _WorkerError(e)))
+                    return
                 q.put((bidx, batch))
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
@@ -305,19 +356,39 @@ class PrefetchLoader:
         pending: dict = {}
         next_idx = 0
         done = 0
-        while done < self.num_workers or pending:
+        try:
+            while done < self.num_workers or pending:
+                while next_idx in pending:
+                    yield pending.pop(next_idx)
+                    tickets.release()
+                    next_idx += 1
+                if done == self.num_workers and not pending:
+                    break
+                bidx, item = q.get()
+                if item is SENTINEL:
+                    done += 1
+                    continue
+                if isinstance(item, _WorkerError):
+                    raise RuntimeError(
+                        f"PrefetchLoader worker failed on batch {bidx} "
+                        f"(dataset item error)") from item.exc
+                pending[bidx] = item
             while next_idx in pending:
                 yield pending.pop(next_idx)
                 tickets.release()
                 next_idx += 1
-            if done == self.num_workers and not pending:
-                break
-            bidx, item = q.get()
-            if item is SENTINEL:
-                done += 1
-                continue
-            pending[bidx] = item
-        while next_idx in pending:
-            yield pending.pop(next_idx)
-            tickets.release()
-            next_idx += 1
+        finally:
+            # break early / error / GC of the generator: release the workers
+            # (they hold up to max_ahead decoded video batches) instead of
+            # leaving them blocked on q.put / tickets.acquire for the rest
+            # of the process lifetime
+            stop.set()
+            deadline = _monotonic() + 10.0
+            while any(t.is_alive() for t in threads) and _monotonic() < deadline:
+                try:
+                    q.get_nowait()  # free queue slots for blocked q.put
+                except queue_mod.Empty:
+                    pass
+                tickets.release()  # wake acquirers so they see `stop`
+                for t in threads:
+                    t.join(timeout=0.005)

@@ -61,5 +61,8 @@ def load_frames_native(
         arr, n, h, w, int(flip), num_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
-    assert rc == 0
+    if rc != 0:  # 1 + first failing index: decode failure must RAISE (the
+        # cv2 path crashes on bad frames; silently training on zero-filled
+        # mid-gray frames would corrupt runs without a trace)
+        raise RuntimeError(f"native loader: cannot decode {paths[rc - 1]!r}")
     return out

@@ -51,8 +51,8 @@ def torch_key_to_flax_path(key: str) -> tuple:
         if p == "net" and i + 1 < len(parts) and _is_int(parts[i + 1]):
             idx = parts[i + 1]
             if idx == "0":
-                # GEGLU wrapper: following part is "proj"
-                out[-1] = out[-1]  # keep "ff"/"ff_in"
+                # GEGLU wrapper: "net.0.proj" -> keep the "ff"/"ff_in"
+                # prefix already emitted and append "proj"
                 i += 2
                 if i < len(parts) and parts[i] == "proj":
                     out.append("proj")
@@ -193,9 +193,11 @@ def xmem_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
 
 def controlnet_params_from_unet(unet_params: Dict, controlnet_params: Dict) -> Dict:
     """Seed a fresh ControlNet's params from a trained UNet (reference:
-    svd/temporal_controlnet.py:311-339 ``from_unet``): copy time_embedding
-    (+ sinusoid has no params), add_embedding, down_blocks and mid_block;
-    keep the zero-initialised conv_in_concat and zero convs."""
+    svd/temporal_controlnet.py:331-337 ``from_unet``): copy time_embedding
+    (time_proj's sinusoid has no params), down_blocks and mid_block; keep
+    the zero-initialised conv_in_concat and zero convs, and — matching the
+    reference exactly — leave add_embedding at its FRESH init (from_unet
+    does not copy it)."""
     import copy
 
     src = unet_params["params"]
@@ -203,7 +205,7 @@ def controlnet_params_from_unet(unet_params: Dict, controlnet_params: Dict) -> D
     d = dst["params"]
     for name in list(d.keys()):
         if (
-            name in ("time_embedding", "add_embedding", "mid_block")
+            name in ("time_embedding", "mid_block")
             or name.startswith("down_blocks_")
         ):
             d[name] = copy.deepcopy(src[name])

@@ -30,10 +30,12 @@ from .convert import (
 
 
 def _load_dir(path: str) -> dict:
-    files = sorted(
+    # recursive=True: without it '**' degrades to '*' and shards nested
+    # more than one level deep are silently missed (round-2 review)
+    files = sorted(set(
         glob.glob(os.path.join(path, "*.safetensors"))
-        + glob.glob(os.path.join(path, "**", "*.safetensors"))
-    )
+        + glob.glob(os.path.join(path, "**", "*.safetensors"), recursive=True)
+    ))
     if not files:
         raise FileNotFoundError(f"no .safetensors under {path}")
     state = {}
