@@ -193,3 +193,51 @@ def test_vgl_pipeline_matches_torch(stack):
     expected = frames.reshape(B, FR, 3, H, W)
     got_t = got.transpose(0, 1, 4, 2, 3)
     assert np.allclose(got_t, expected, atol=2e-4), np.abs(got_t - expected).max()
+
+
+def test_decode_chunking_is_per_clip():
+    """decode_latents_chunked must never let a temporal chunk span two
+    clips (round-2 review): with B>1 and chunk not dividing F, flat B*F
+    chunking fed the temporal decoder frames of two unrelated clips.  Fake
+    decoder couples all frames within a call (cumsum over the frame axis),
+    so any cross-clip chunk changes the result."""
+    from this_and_that_vdm_tpu.pipelines.common import decode_latents_chunked
+
+    rng = np.random.RandomState(0)
+    lat = jnp.asarray(rng.randn(2, 5, 2, 2, 4).astype(np.float32))  # B=2,F=5
+
+    def fake_vae(z):  # [B, F, h, w, 4] -> frame-coupled output
+        return jnp.cumsum(z, axis=1)
+
+    batched = decode_latents_chunked(fake_vae, lat, 1.0, decode_chunk_size=2)
+    for i in range(2):
+        solo = decode_latents_chunked(fake_vae, lat[i:i + 1], 1.0,
+                                      decode_chunk_size=2)
+        np.testing.assert_array_equal(np.asarray(batched[i]),
+                                      np.asarray(solo[0]))
+    # chunk boundaries themselves are part of the numerics contract:
+    # chunk=2 on F=5 -> cumsum resets at frames 0, 2, 4
+    got = np.asarray(decode_latents_chunked(fake_vae, lat, 1.0, 2))
+    want = np.concatenate([np.cumsum(np.asarray(lat[:, i:i + 2]), axis=1)
+                           for i in range(0, 5, 2)], axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_transformer_two_layers_shares_time_mixer():
+    """transformer_layers_per_block=2 must init (one shared AlphaBlender,
+    like diffusers' single self.time_mixer) — constructing it per layer
+    collided on the flax module name (round-2 review)."""
+    import jax.random as jr
+
+    from this_and_that_vdm_tpu.models.transformer import (
+        TransformerSpatioTemporalModel)
+
+    m = TransformerSpatioTemporalModel(heads=2, dim_head=16, num_layers=2,
+                                       cross_attention_dim=32)
+    x = jnp.zeros((1, 2, 4, 4, 32))
+    ctx = jnp.zeros((2, 3, 32))
+    params = m.init(jr.PRNGKey(0), x, ctx, jnp.zeros((1, 2)))
+    p = params["params"]
+    assert "time_mixer" in p and "transformer_blocks_1" in p
+    out = m.apply(params, x, ctx, jnp.zeros((1, 2)))
+    assert out.shape == x.shape

@@ -98,7 +98,11 @@ class ControlNetModel(nn.Module):
         conditioning_scale: float = 1.0,
         guess_mode: bool = False,
         context_clips: int = 1,  # see models/transformer.py
+        inner_conditioning_scale: float = 1.0,  # accepted-and-unused, like
+        # the reference (temporal_controlnet.py:464 takes it but never uses
+        # it in forward) — kept for API parity
     ):
+        del inner_conditioning_scale
         cfg = self.config
         b, f = sample.shape[:2]
         ch0 = cfg.block_out_channels[0]

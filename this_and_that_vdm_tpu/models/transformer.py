@@ -378,6 +378,12 @@ class TransformerSpatioTemporalModel(nn.Module):
             t_emb
         )[:, None, :]
 
+        # ONE AlphaBlender shared across layers (diffusers creates a single
+        # self.time_mixer in __init__, transformer_temporal.py:267, reused by
+        # every layer; constructing it inside the loop would also collide on
+        # the flax name at num_layers >= 2)
+        time_mixer = AlphaBlender(merge_strategy="learned_with_images",
+                                  name="time_mixer")
         for i in range(self.num_layers):
             h = BasicTransformerBlock(
                 self.heads,
@@ -393,9 +399,7 @@ class TransformerSpatioTemporalModel(nn.Module):
                 dtype=self.dtype,
                 name=f"temporal_transformer_blocks_{i}",
             )(h + emb, f, time_context, clips=self.context_clips)
-            h = AlphaBlender(merge_strategy="learned_with_images", name="time_mixer")(
-                h, h_mix, image_only_indicator
-            )
+            h = time_mixer(h, h_mix, image_only_indicator)
 
         h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
         h = h.reshape(b * f, hh, ww, c) + residual

@@ -179,6 +179,12 @@ class UNetSpatioTemporalConditionModel(nn.Module):
             down_res += states
 
         if down_block_additional_residuals is not None:
+            if len(down_block_additional_residuals) != len(down_res):
+                raise ValueError(
+                    f"ControlNet produced {len(down_block_additional_residuals)} "
+                    f"residuals but the UNet has {len(down_res)} skip states — "
+                    f"mismatched UNet/ControlNet configs (zip would silently "
+                    f"drop skip connections)")
             down_res = tuple(
                 r + add for r, add in zip(down_res, down_block_additional_residuals)
             )

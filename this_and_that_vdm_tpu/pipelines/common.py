@@ -103,13 +103,18 @@ def decode_latents_chunked(vae_apply, latents: jnp.ndarray, scaling_factor: floa
     """
     b, f = latents.shape[:2]
     z = latents / scaling_factor
-    z = z.reshape(b * f, *latents.shape[2:])
     outs = []
-    for i in range(0, b * f, decode_chunk_size):
-        chunk = z[i : i + decode_chunk_size]
-        outs.append(vae_apply(chunk[None]))  # decode treats leading dim as B
-    frames = jnp.concatenate([o[0] for o in outs], axis=0)
-    return frames.reshape(b, f, *frames.shape[1:])
+    # Chunk the FRAME axis per clip (never across clips): the temporal convs
+    # inside the decoder mix everything within a chunk, so a flat B*F chunking
+    # (the reference's, which only ever sees B=1) would blend neighbouring
+    # clips in a serving micro-batch AND change chunk boundaries vs a solo
+    # run.  Decoding [B, chunk] as B videos of `chunk` frames keeps every
+    # clip's receptive field identical to its B=1 decode.
+    del b
+    for i in range(0, f, decode_chunk_size):
+        # [B, c, h, w, 4] -> B independent videos of c frames
+        outs.append(vae_apply(z[:, i : i + decode_chunk_size]))
+    return jnp.concatenate(outs, axis=1)  # [B, F, H, W, 3]
 
 
 def postprocess_frames(frames_m11: jnp.ndarray) -> np.ndarray:

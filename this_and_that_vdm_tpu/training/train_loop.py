@@ -50,6 +50,13 @@ from . import trainer
 from .metrics import MetricLogger
 
 
+def _motion_or_default(cfg: dict) -> int:
+    """motion_bucket_id: None/absent -> 200; an explicit 0 is a VALID SVD
+    bucket and must not be swallowed by a falsy `or` (round-2 review)."""
+    v = cfg.get("motion_bucket_id")
+    return 200 if v is None else int(v)
+
+
 def load_config(path: str) -> dict:
     with open(path) as f:
         return yaml.safe_load(f)
@@ -68,7 +75,7 @@ def train_config_from_yaml(cfg: dict, mode: str) -> trainer.TrainConfig:
         conditioning_dropout_prob=float(cfg.get("conditioning_dropout_prob", 0.1)),
         train_noise_aug_strength=float(cfg.get("train_noise_aug_strength", 0.1)),
         process_fps=int(cfg.get("process_fps", 7)),
-        motion_bucket_id=int(cfg.get("motion_bucket_id") or 200),
+        motion_bucket_id=_motion_or_default(cfg),
         max_grad_norm=1.0 if mode == "vgl" else None,
         partial_finetune=bool(cfg.get("partial_finetune", False)),
         use_text=bool(cfg.get("use_text", True)),
@@ -138,7 +145,12 @@ def build_models(cfg: dict, mode: str, dtype=jnp.float32, tiny: bool = False,
                                  max_positions=77)
     else:
         remat = bool(cfg.get("gradient_checkpointing", 1))
-        unet_cfg = UNetConfig(remat=remat and mode == "vl")
+        # the UNet needs remat in VGL too: it is frozen but IN the grad path
+        # (loss -> UNet -> ControlNet residuals), so without checkpointing
+        # every UNet activation is retained for backward (reference
+        # gradient-checkpoints the UNet in train_csvd as well); bench.py's
+        # train_vgl mode does the same
+        unet_cfg = UNetConfig(remat=remat)
         cn_cfg = ControlNetConfig(remat=remat and mode == "vgl")
         vae_cfg, vis_cfg, txt_cfg = VAEConfig(), CLIPVisionConfig(), CLIPTextConfig()
 
@@ -327,7 +339,7 @@ def main(argv: Optional[list] = None):
             pipe, val_folder, tok2, mode=args.mode,
             num_frames=dcfg.video_seq_length, height=dcfg.height, width=dcfg.width,
             num_inference_steps=int(cfg.get("num_inference_steps", 25)),
-            motion_bucket_id=int(cfg.get("motion_bucket_id") or 200),
+            motion_bucket_id=_motion_or_default(cfg),
         )
         print(f"step {step_now}: rendered {len(out)} validation instances")
 

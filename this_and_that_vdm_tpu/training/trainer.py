@@ -126,6 +126,12 @@ def init_train_state(params, tx) -> TrainState:
                       opt_state=tx.init(params))
 
 
+# NOTE train/inference fps skew is REFERENCE behavior: training conditions
+# on raw process_fps=7 (train_svd.py:779-788 passes process_fps unmodified)
+# while both inference pipelines condition on fps-1=6 (SVD's base model was
+# conditioned on fps-1; pipeline_stable_video_diffusion.py:453-456).  The
+# published weights were finetuned with this skew, so both sides replicate
+# their respective reference values exactly.
 def make_add_time_ids(cfg: TrainConfig, motion_bucket_id) -> jnp.ndarray:
     """[B, 3] micro-conditioning ids: (fps, per-sample motion bucket,
     noise_aug).  The reference builds add_time_ids per sample

@@ -52,7 +52,10 @@ def render_validation(
         prompt = ""
         lang = os.path.join(inst, "lang.txt")
         if os.path.exists(lang):
-            prompt = open(lang).readlines()[0].strip()
+            # empty/odd lang.txt must not kill the training run at a
+            # validation step (round-2 review)
+            with open(lang) as f:
+                prompt = f.readline().strip()
         call = dict(
             prompt_ids=tokenize(prompt), num_frames=num_frames,
             num_inference_steps=num_inference_steps,
