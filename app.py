@@ -16,6 +16,13 @@ Falls back to a CLI one-shot mode when gradio isn't installed:
 import argparse
 import os
 import tempfile
+
+try:  # annotation resolution for on_select's evt: "gr.SelectData" —
+    # gradio inspects type hints against THIS module's globals; without a
+    # module-level binding the select handler never receives event data
+    import gradio as gr  # noqa: F401
+except ImportError:  # CLI one-shot mode works without gradio
+    gr = None
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

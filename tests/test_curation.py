@@ -170,12 +170,19 @@ class FakeSegmenter:
         return mask
 
 
-def _moving_square_frames(n=14, h=96, w=128, size=16, step=3):
+def _moving_square_frames(n=14, h=96, w=128, size=16, step=3, step_y=1,
+                          textured=True):
+    # textured + diagonal: a FLAT square moving on one axis gives Farneback
+    # flow only at edges with v ~= 0, and the reference's `u==0 or v==0`
+    # skip quirk then marks nearly every frame hard-to-track (such clips
+    # are DISCARDED by the reference's 1/3 rule — regression test below)
+    tex = np.random.RandomState(7).randint(64, 255, (size, size, 3)).astype(np.uint8)
     frames = []
     for i in range(n):
         img = np.zeros((h, w, 3), np.uint8)
         x = 30 + step * i
-        img[40:40 + size, x:x + size] = 255
+        y = 40 + step_y * i
+        img[y:y + size, x:x + size] = tex if textured else 255
         frames.append(img)
     return frames
 
@@ -183,7 +190,7 @@ def _moving_square_frames(n=14, h=96, w=128, size=16, step=3):
 def test_sam_start_point_and_ref_chaining(tmp_path):
     frames = _moving_square_frames()
     flows = trajectory.compute_flows(np.stack(frames))
-    seg = FakeSegmenter()
+    seg = FakeSegmenter(half=8)  # tight mask: start lands on the square
     rng = np.random.RandomState(0)
     start = trajectory.pick_start_point_sam(frames[0], flows[0], seg, rng,
                                             interior=5)
@@ -200,9 +207,28 @@ def test_sam_start_point_and_ref_chaining(tmp_path):
 
     traj = trajectory.chain_trajectory_ref(flows, start)
     assert traj is not None and len(traj) == len(flows) + 1
-    # the square moves right by ~3px/frame: column increases, row stable
+    # the square moves right ~3px/frame (and down ~1px): column increases
     assert traj[-1][1] > traj[0][1] + 15
-    assert abs(traj[-1][0] - traj[0][0]) < 12
+    assert abs(traj[-1][0] - traj[0][0]) < 25
+
+
+def test_chain_trajectory_ref_discards_hard_to_track_clip():
+    """>=1/3 hard-to-track frames -> discard (reference generate_traj.py
+    :372-373, :427-432): frames whose +-5 window is empty (motion exists
+    only far away) count as hard; past 1/3 the clip is rejected even though
+    every frame eventually finds SOME flow."""
+    h = w = 64
+    flows = np.zeros((6, h, w, 2), np.float32)
+    start = (20, 20)
+    # frames 0-1: flow right at the tracked point (easy); frames 2-5: the
+    # only motion is a distant blob -> expanded search -> hard
+    flows[:2, 15:26, 15:26] = (2.0, 1.0)
+    flows[2:, 40:48, 40:48] = (2.0, 1.0)  # reachable before the half-height give-up
+    assert trajectory.chain_trajectory_ref(flows, start) is None
+    # same clip with hard frames below the 1/3 threshold survives
+    flows2 = flows.copy()
+    flows2[2:5, 15:36, 15:36] = (2.0, 1.0)  # only frame 5 stays hard
+    assert trajectory.chain_trajectory_ref(flows2, start) is not None
 
 
 def test_chain_trajectory_ref_discards_when_untrackable():

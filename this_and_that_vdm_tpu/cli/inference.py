@@ -115,8 +115,17 @@ def build_pipeline(args):
 
 def _tokenizer(args):
     if args.random_weights:
+        import hashlib
+
+        def _tok_id(w: str) -> int:
+            # deterministic digest: builtin hash() is PYTHONHASHSEED-salted
+            # per process, which broke cross-run output comparisons in the
+            # --random-weights smoke mode (round-2 review)
+            return int.from_bytes(hashlib.md5(w.encode()).digest()[:4],
+                                  "little") % 49000
+
         return lambda s: np.asarray(
-            [abs(hash(w)) % 49000 for w in s.split()][:77] + [0] * max(0, 77 - len(s.split())),
+            [_tok_id(w) for w in s.split()][:77] + [0] * max(0, 77 - len(s.split())),
             np.int32,
         )[None]
     from transformers import CLIPTokenizer

@@ -52,7 +52,10 @@ class UltralyticsGripperDetector:
         self.model = YOLO(weight_path)
 
     def boxes_xywh(self, image_bgr: np.ndarray) -> np.ndarray:
-        pred = self.model.predict(source=image_bgr[:, :, ::-1], save=False)[0]
+        # ultralytics treats numpy sources as BGR and flips internally
+        # (its preprocess does im[..., ::-1]); pre-flipping here handed the
+        # net channel-swapped images (round-2 review)
+        pred = self.model.predict(source=image_bgr, save=False)[0]
         if not hasattr(pred, "boxes"):
             return np.zeros((0, 4), np.float32)
         return np.asarray(pred.boxes.xywh.detach().cpu().numpy(), np.float32)
@@ -68,7 +71,9 @@ class SAMSegmenter:
         self.predictor = SamPredictor(sam)
 
     def predict_mask(self, image_bgr, points_xy, box_xyxy=None) -> np.ndarray:
-        self.predictor.set_image(np.uint8(image_bgr))
+        # SamPredictor.set_image defaults to image_format="RGB"; declare the
+        # BGR input so the ViT sees correct channels (round-2 review)
+        self.predictor.set_image(np.uint8(image_bgr), image_format="BGR")
         masks, _scores, _ = self.predictor.predict(
             point_coords=np.asarray(points_xy),
             point_labels=np.ones(len(points_xy)),

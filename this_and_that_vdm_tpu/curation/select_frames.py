@@ -87,6 +87,9 @@ def detect_gripper(detector: BoxDetector, input_dir: str, action_start: int,
         if point is not None:
             candidates.append([action_start + off, point])
             edge_points.extend(edges)
+    if not candidates:  # e.g. policy_out longer than the frame sequence:
+        # soft-fail with a message instead of IndexError (round-2 review)
+        return None, None, "Cannot find the first contact point!"
     candidates.sort(key=lambda c: c[1][2])  # closest box pair wins
     first_point = candidates[0][1][:2]
     start_idx = candidates[0][0]
@@ -158,6 +161,10 @@ def process_instance(
         return False, message
     points, old_idx = info
 
+    # fresh output dir per instance: data.txt is written in append mode
+    # (reference semantics) and the reference wipes its destination root per
+    # run — without this a resumed run appends duplicate gesture lines
+    shutil.rmtree(store_dir, ignore_errors=True)
     os.makedirs(store_dir, exist_ok=True)
     if segmenter is not None and bbox is not None:
         base = cv2.imread(os.path.join(input_dir, "im_0.jpg"))

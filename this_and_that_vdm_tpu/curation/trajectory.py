@@ -163,17 +163,21 @@ def chain_trajectory_ref(
     """Reference-exact chaining (generate_traj.py:357-397): mean flow over a
     window around the last point, skipping pixels where EITHER component is
     zero (:386-389 quirk: ``u == 0 or v == 0`` skips); the window starts at
-    +-5 and grows by 10 per empty retry; the whole sample is discarded
-    (None) once the range reaches half the image height (:375-378).
-    Appended points are int-truncated and NOT clipped to the image."""
+    +-5 and grows by 10 per empty retry.  Discarded (None) when the range
+    reaches half the image height (:375-378) OR when >= 1/3 of the frames
+    were 'hard to track' (needed an expanded search — :372-373, :427-432:
+    the reference rejects such unreliable trajectories).  Appended points
+    are int-truncated and NOT clipped to the image."""
     h, _w = flows.shape[1:3]
     traj: List[Tuple[int, int]] = [(int(start_rc[0]), int(start_rc[1]))]
+    hard_frames = 0
     for f in flows:
         f = filter_uv(f, threshold_factor)
         ref_r, ref_c = traj[-1]
         lo, hi = -5, 5
         us: List[float] = []
         vs: List[float] = []
+        expanded = False
         while not us:
             if lo != -5 and abs(lo) >= h // 2:
                 return None  # searched everything, nothing to track
@@ -185,9 +189,15 @@ def chain_trajectory_ref(
                             continue
                         us.append(float(f[r, c, 0]))
                         vs.append(float(f[r, c, 1]))
+            if not us:
+                expanded = True  # this frame needed a wider search
             lo -= 10
             hi += 10
+        if expanded:
+            hard_frames += 1  # one hard_track_idxs entry per FRAME (:372-373)
         traj.append((int(ref_r + sum(vs) / len(vs)), int(ref_c + sum(us) / len(us))))
+    if hard_frames >= len(flows) // 3:
+        return None  # too unreliable (reference :427-432)
     return traj
 
 

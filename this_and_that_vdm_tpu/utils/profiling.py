@@ -48,7 +48,10 @@ class StepTimer:
     def __init__(self, warmup: int = 1):
         self.warmup = warmup
         self._count = 0
-        self._t0: Optional[float] = None
+        # warmup=0: rate over ALL steps, measured from construction
+        # (the count==warmup branch below is unreachable then — round-2
+        # review: _t0 stayed None forever and tick() always returned None)
+        self._t0: Optional[float] = time.perf_counter() if warmup == 0 else None
 
     def tick(self) -> Optional[float]:
         """Call once per step after block_until_ready; returns steps/sec so far."""
