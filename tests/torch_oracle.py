@@ -297,8 +297,11 @@ class MidBlockST(nn.Module):
 class UpBlockST(nn.Module):
     def __init__(self, cins, cout, temb, upsample=True):
         super().__init__()
+        # eps=1e-6: get_up_block does NOT forward the UNet's resnet_eps=1e-5
+        # into the SpatioTemporal branches (unet_3d_blocks.py:275-301), so
+        # the class default 1e-6 (:2201) applies in the reference
         self.resnets = nn.ModuleList(
-            [SpatioTemporalResBlock(ci, cout, temb, eps=1e-5) for ci in cins]
+            [SpatioTemporalResBlock(ci, cout, temb, eps=1e-6) for ci in cins]
         )
         if upsample:
             us = nn.Module()
@@ -318,8 +321,9 @@ class UpBlockST(nn.Module):
 class CrossUpBlockST(nn.Module):
     def __init__(self, cins, cout, temb, heads, ctx_dim, upsample=True):
         super().__init__()
+        # eps=1e-6, same get_up_block non-forwarding as UpBlockST (:2291)
         self.resnets = nn.ModuleList(
-            [SpatioTemporalResBlock(ci, cout, temb, eps=1e-5) for ci in cins]
+            [SpatioTemporalResBlock(ci, cout, temb, eps=1e-6) for ci in cins]
         )
         self.attentions = nn.ModuleList(
             [TransformerSpatioTemporalModel(heads, cout // heads, cout, 1, ctx_dim) for _ in cins]
@@ -365,11 +369,12 @@ class UNetOracle(nn.Module):
         self.conv_in = nn.Conv2d(in_ch, channels[0], 3, padding=1)
         self.time_embedding = TimestepEmbedding(channels[0], temb)
         self.add_embedding = TimestepEmbedding(proj_dim, temb)
+        self.layers_per_block = 2  # resnets per down block (reference fixed)
         blocks = []
         cin = channels[0]
         for i, c in enumerate(channels):
             last = i == len(channels) - 1
-            if i < 3:
+            if i < len(channels) - 1:  # reference: all but the last are cross-attn
                 blocks.append(CrossDownBlockST(cin, c, temb, heads[i], ctx_dim, downsample=not last))
             else:
                 blocks.append(DownBlockST(cin, c, temb, downsample=not last))
@@ -415,8 +420,8 @@ class UNetOracle(nn.Module):
         if mid_extra is not None:
             x = x + mid_extra
         for blk in self.up_blocks:
-            take = res[-3:]
-            res = res[:-3]
+            take = res[-(self.layers_per_block + 1):]
+            res = res[:-(self.layers_per_block + 1)]
             if isinstance(blk, CrossUpBlockST):
                 x = blk(x, take, temb, ctx, f)
             else:
@@ -438,7 +443,7 @@ class ControlNetOracle(nn.Module):
         cin = channels[0]
         for i, c in enumerate(channels):
             last = i == len(channels) - 1
-            if i < 3:
+            if i < len(channels) - 1:  # reference: all but the last are cross-attn
                 blocks.append(CrossDownBlockST(cin, c, temb, heads[i], ctx_dim, downsample=not last))
             else:
                 blocks.append(DownBlockST(cin, c, temb, downsample=not last))

@@ -7,7 +7,10 @@ CrossAttnUpBlockSpatioTemporal:2281, UNetMidBlockSpatioTemporal:1870).  The
 dead 3D/Motion/VAE-decoder block zoo is intentionally not ported (SURVEY.md
 §2.1).  Epsilon quirks preserved from the reference: cross-attn down blocks
 build resblocks with eps=1e-6 (:2098), plain down blocks and the mid block
-with 1e-5 (:1999,:1895), up blocks with the caller's 1e-5.
+with 1e-5 (:1999,:1895), and BOTH up-block types with 1e-6 — get_up_block
+never forwards the UNet's resnet_eps=1e-5 into the SpatioTemporal branches
+(:275-301), so the class defaults (:2201,:2291) apply (round-2 oracle
+audit fix; previously both sides used 1e-5 here).
 
 Block I/O layout: ``[B, F, H, W, C]``; ``temb``: ``[B, F, temb_dim]``;
 ``context``: ``[B*F, S, D]``.
@@ -140,8 +143,10 @@ class UpBlockSpatioTemporal(nn.Module):
             res = res_states[-1]
             res_states = res_states[:-1]
             x = jnp.concatenate([x, res], axis=-1)
+            # eps=1e-6: get_up_block drops resnet_eps for the SpatioTemporal
+            # branches (unet_3d_blocks.py:275-301) -> class default applies
             x = SpatioTemporalResBlock(
-                self.out_channels, eps=1e-5, dtype=self.dtype, name=f"resnets_{i}"
+                self.out_channels, eps=1e-6, dtype=self.dtype, name=f"resnets_{i}"
             )(x, temb, image_only_indicator)
         if self.add_upsample:
             b = x.shape[0]
@@ -170,8 +175,10 @@ class CrossAttnUpBlockSpatioTemporal(nn.Module):
             res = res_states[-1]
             res_states = res_states[:-1]
             x = jnp.concatenate([x, res], axis=-1)
+            # eps=1e-6: get_up_block drops resnet_eps for the SpatioTemporal
+            # branches (unet_3d_blocks.py:275-301) -> class default applies
             x = SpatioTemporalResBlock(
-                self.out_channels, eps=1e-5, dtype=self.dtype, name=f"resnets_{i}"
+                self.out_channels, eps=1e-6, dtype=self.dtype, name=f"resnets_{i}"
             )(x, temb, image_only_indicator)
             x = TransformerSpatioTemporalModel(
                 self.heads,

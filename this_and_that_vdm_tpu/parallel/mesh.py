@@ -62,8 +62,11 @@ def distributed_init(coordinator: Optional[str] = None,
     import os
 
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator is None and num_processes is None:
+    if (coordinator is None and num_processes is None
+            and os.environ.get("JAX_NUM_PROCESSES") is None):
         # TPU pods auto-discover via metadata; only initialize when asked
+        # (JAX_NUM_PROCESSES alone counts as asking — pods may omit the
+        # coordinator and rely on auto-discovery, round-2 review)
         if os.environ.get("TTV_MULTIHOST") != "1":
             return False
     kwargs = {}
@@ -115,12 +118,20 @@ def shard_params(params: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Batch axis sharded over all data axes jointly ((dcn,)dp,fsdp)."""
+    """Batch axis sharded over all data axes jointly ((dcn,)dp,fsdp);
+    rank-0 leaves and leaves whose leading dim the mesh can't divide are
+    replicated (a rank-1 spec on a scalar raises in device_put)."""
     axes = tuple(a for a in ("dcn", "dp", "fsdp") if a in mesh.axis_names)
-    return jax.tree.map(
-        lambda x: NamedSharding(mesh, P(axes, *([None] * (np.ndim(x) - 1)))),
-        batch,
-    )
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+
+    def spec(x):
+        if np.ndim(x) == 0 or np.shape(x)[0] % n:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(axes, *([None] * (np.ndim(x) - 1))))
+
+    return jax.tree.map(spec, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
