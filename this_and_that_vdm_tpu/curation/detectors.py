@@ -93,6 +93,106 @@ class SAMSegmenter:
         return masks[0]
 
 
+class NativeSAMSegmenter:
+    """TPU-native SAM (models/sam.py) with the SamPredictor contract —
+    embed-once per frame, predict per prompt (reference
+    track_anything_code/tools/base_segmenter.py:25-56).
+
+    Loads the published ``sam_vit_{b,l,h}*.pth`` checkpoints through
+    ``weights/convert.sam_state_dict_to_flax`` (torch used only to unpickle
+    the file).  Prompts are padded to ``max_points`` static slots with
+    "not a point" labels so every predict hits one compiled executable.
+    Boxes ride the same path as two corner points with labels 2/3 (the
+    architecture's own box encoding)."""
+
+    def __init__(self, checkpoint: Optional[str] = None,
+                 model_type: str = "vit_h", params=None, dtype=None,
+                 max_points: int = 8):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import sam as sam_mod
+
+        cfg = getattr(sam_mod.SamConfig, model_type)()
+        self.cfg = cfg
+        self.model = sam_mod.Sam(cfg)
+        self.max_points = max_points
+        self.jnp = jnp
+        if params is None:
+            import torch
+
+            from ..weights.convert import sam_state_dict_to_flax
+
+            state = torch.load(checkpoint, map_location="cpu",
+                               weights_only=True)
+            params = sam_state_dict_to_flax(
+                {k: v.numpy() for k, v in state.items()})
+        if dtype is not None:
+            params = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+                params)
+        self.params = params
+        self._encode = jax.jit(
+            lambda p, x: self.model.apply(p, x, method=sam_mod.Sam.encode_image))
+        self._predict = jax.jit(
+            lambda p, emb, pts, lbl: self.model.apply(
+                p, emb, pts, lbl, method=sam_mod.Sam.predict))
+        self._cache_key = None
+        self._cache = None
+
+    # -- embed-once ---------------------------------------------------------
+    def _set_image(self, image_rgb_uint8: np.ndarray):
+        import hashlib
+
+        img = np.ascontiguousarray(np.uint8(image_rgb_uint8))
+        key = (img.shape, hashlib.sha1(img.tobytes()).hexdigest())
+        if key == self._cache_key:
+            return self._cache
+        from ..models.sam import preprocess_np
+
+        x, input_hw = preprocess_np(img, self.cfg.img_size)
+        emb = self._encode(self.params, self.jnp.asarray(x))
+        self._cache_key = key
+        self._cache = (emb, input_hw, img.shape[:2])
+        return self._cache
+
+    def _run(self, image_rgb, coords_xy, labels):
+        from ..models.sam import (
+            MASK_THRESHOLD, postprocess_masks_np, transform_coords_np,
+        )
+
+        emb, input_hw, orig_hw = self._set_image(image_rgb)
+        n = len(coords_xy)
+        pts = np.zeros((1, self.max_points, 2), np.float32)
+        lbl = np.full((1, self.max_points), -1, np.int32)
+        pts[0, :n] = transform_coords_np(
+            np.asarray(coords_xy, np.float32), orig_hw, self.cfg.img_size)
+        lbl[0, :n] = np.asarray(labels, np.int32)
+        low_res, _iou = self._predict(
+            self.params, emb, self.jnp.asarray(pts), self.jnp.asarray(lbl))
+        # multimask_output=False -> mask token 0 (official predict path)
+        masks = postprocess_masks_np(
+            np.asarray(low_res[:, :1], np.float32), input_hw, orig_hw,
+            self.cfg.img_size)
+        return masks[0, 0] > MASK_THRESHOLD
+
+    # -- reference-facing protocols ----------------------------------------
+    def predict_mask(self, image_bgr, points_xy, box_xyxy=None) -> np.ndarray:
+        coords = list(np.asarray(points_xy, np.float32))
+        labels = [1] * len(coords)
+        if box_xyxy is not None:
+            b = np.asarray(box_xyxy, np.float32).reshape(4)
+            coords += [b[:2], b[2:]]
+            labels += [2, 3]
+        return self._run(np.asarray(image_bgr)[..., ::-1], coords, labels)
+
+    def predict_mask_labeled(self, image_rgb, points_xy, labels) -> np.ndarray:
+        return self._run(np.asarray(image_rgb),
+                         np.asarray(points_xy, np.float32),
+                         np.asarray(labels))
+
+
 class FlowFormerFlow:
     """Adapter for a user-vendored FlowFormer (reference scripts/
     generate_traj.py:20-26 imports ``flowformer_code`` which is NOT in the

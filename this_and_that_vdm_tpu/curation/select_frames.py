@@ -224,14 +224,21 @@ def main(argv=None):
     p.add_argument("--yolo", required=True, help="ultralytics gripper weights")
     p.add_argument("--sam", default=None, help="segment-anything checkpoint")
     p.add_argument("--sam-type", default="vit_h")
+    p.add_argument("--sam-backend", default="native",
+                   choices=("native", "torch"),
+                   help="native = TPU flax SAM (models/sam.py); torch = "
+                        "external segment-anything package")
     p.add_argument("--frames", type=int, default=14)
     p.add_argument("--max-input-frames", type=int, default=56)
     args = p.parse_args(argv)
 
-    from .detectors import SAMSegmenter, UltralyticsGripperDetector
+    from .detectors import (
+        NativeSAMSegmenter, SAMSegmenter, UltralyticsGripperDetector,
+    )
 
     detector = UltralyticsGripperDetector(args.yolo)
-    segmenter = SAMSegmenter(args.sam, args.sam_type) if args.sam else None
+    sam_cls = NativeSAMSegmenter if args.sam_backend == "native" else SAMSegmenter
+    segmenter = sam_cls(args.sam, args.sam_type) if args.sam else None
     messages = process_dataset(
         args.input_root, args.output_root, detector, segmenter,
         total_frames_needed=args.frames,

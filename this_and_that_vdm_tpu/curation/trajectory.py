@@ -321,6 +321,10 @@ def main(argv=None):
     p.add_argument("--flowformer", default=None, help="FlowFormer checkpoint (vendored flowformer_code)")
     p.add_argument("--sam", default=None, help="segment-anything checkpoint")
     p.add_argument("--sam-type", default="vit_h")
+    p.add_argument("--sam-backend", default="native",
+                   choices=("native", "torch"),
+                   help="native = TPU flax SAM (models/sam.py); torch = "
+                        "external segment-anything package")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -331,9 +335,11 @@ def main(argv=None):
         flow_fn = FlowFormerFlow(args.flowformer)
     segmenter = None
     if args.sam:
-        from .detectors import SAMSegmenter
+        from .detectors import NativeSAMSegmenter, SAMSegmenter
 
-        segmenter = SAMSegmenter(args.sam, args.sam_type)
+        sam_cls = (NativeSAMSegmenter if args.sam_backend == "native"
+                   else SAMSegmenter)
+        segmenter = sam_cls(args.sam, args.sam_type)
     messages = process_dataset_traj(
         args.input_root, num_frames=args.frames, flow_fn=flow_fn,
         segmenter=segmenter, num_workers=args.workers, seed=args.seed,

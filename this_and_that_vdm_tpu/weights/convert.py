@@ -191,6 +191,99 @@ def xmem_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
     return {"params": params}
 
 
+def sam_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
+    """Convert an official Segment Anything checkpoint (``sam_vit_h_4b8939
+    .pth`` et al. — the plain ``Sam.state_dict()`` layout of
+    facebookresearch/segment-anything, which the reference loads at
+    curation_pipeline/select_frame_with_this_that.py:387-390) to the flax
+    params of models/sam.py.
+
+    Mapping rules on top of the generic tensor transforms:
+      * ``patch_embed.proj`` collapses to ``patch_embed`` (the flax conv);
+      * ``pe_layer.positional_encoding_gaussian_matrix`` -> ``pe_layer/
+        gaussian`` (buffer held as a param, no transform);
+      * ``point_embeddings.{0..3}.weight`` (1, C) -> flat (C,) leaves
+        ``point_embed_neg/point_embed_pos/box_embed_1/box_embed_2``;
+        ``not_a_point_embed``/``no_mask_embed`` likewise;
+      * ``mask_downscaling.{0,1,3,4,6}`` -> ``mask_conv1/mask_ln1/mask_conv2/
+        mask_ln2/mask_conv3``; ``neck.{0..3}`` -> ``neck_conv1/neck_ln1/
+        neck_conv2/neck_ln2``; ``output_upscaling.{0,1,3}`` ->
+        ``upscale_conv1/upscale_ln/upscale_conv2``;
+      * transposed-conv weights (Cin, Cout, 2, 2) -> the einsum kernel
+        (2, 2, Cin, Cout) of ``models/sam.Deconv2x``;
+      * ``iou_token``/``mask_tokens`` embedding matrices keep their shape;
+        ``rel_pos_h``/``rel_pos_w`` tables pass through;
+      * ``output_hypernetworks_mlps`` -> ``hyper_mlps``,
+        ``iou_prediction_head`` -> ``iou_head``.
+    """
+    point_names = {"0": "point_embed_neg", "1": "point_embed_pos",
+                   "2": "box_embed_1", "3": "box_embed_2"}
+    seq_renames = {
+        ("image_encoder", "neck"): {"0": "neck_conv1", "1": "neck_ln1",
+                                    "2": "neck_conv2", "3": "neck_ln2"},
+        ("prompt_encoder", "mask_downscaling"): {
+            "0": "mask_conv1", "1": "mask_ln1", "3": "mask_conv2",
+            "4": "mask_ln2", "6": "mask_conv3"},
+        ("mask_decoder", "output_upscaling"): {
+            "0": "upscale_conv1", "1": "upscale_ln", "3": "upscale_conv2"},
+    }
+    params: Dict = {}
+
+    def put(path, leaf, arr):
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf] = arr
+
+    for key, value in state.items():
+        if key in ("pixel_mean", "pixel_std"):
+            continue  # non-persistent normalisation buffers (host-side here)
+        arr = np.asarray(value)
+        k = key.replace("patch_embed.proj", "patch_embed")
+        k = k.replace("pe_layer.positional_encoding_gaussian_matrix",
+                      "pe_layer.gaussian")
+        k = k.replace("output_hypernetworks_mlps", "hyper_mlps")
+        k = k.replace("iou_prediction_head", "iou_head")
+        parts = k.split(".")
+
+        if parts[-1] == "gaussian":
+            put(tuple(parts[:-1]), "gaussian", arr)
+            continue
+        if len(parts) >= 3 and parts[1] == "point_embeddings":
+            put((parts[0],), point_names[parts[2]], arr.reshape(-1))
+            continue
+        if len(parts) >= 2 and parts[1] in ("not_a_point_embed", "no_mask_embed"):
+            put((parts[0],), parts[1].replace("_embed", ""), arr.reshape(-1))
+            continue
+        if len(parts) >= 2 and parts[1] in ("iou_token", "mask_tokens"):
+            put((parts[0],), parts[1], arr)
+            continue
+        if parts[-1] in ("rel_pos_h", "rel_pos_w"):
+            path, leaf = torch_key_to_flax_path(k)  # leaf = rel_pos_{h,w}
+            put(path, leaf, arr)
+            continue
+
+        rename = seq_renames.get(tuple(parts[:2]))
+        if rename is not None:
+            name = rename[parts[2]]
+            leaf = parts[3]
+            if leaf == "weight" and name.startswith("upscale_conv"):
+                # ConvTranspose2d (Cin, Cout, 2, 2) -> (2, 2, Cin, Cout)
+                put((parts[0], name), "kernel", arr.transpose(2, 3, 0, 1))
+                continue
+            leaf_name, conv = convert_tensor(leaf, arr)
+            put((parts[0], name), leaf_name, conv)
+            continue
+
+        path, leaf = torch_key_to_flax_path(k)
+        if leaf == "pos_embed":
+            put(path, "pos_embed", arr)
+            continue
+        leaf_name, conv = convert_tensor(leaf, arr)
+        put(path, leaf_name, conv)
+    return {"params": params}
+
+
 def controlnet_params_from_unet(unet_params: Dict, controlnet_params: Dict) -> Dict:
     """Seed a fresh ControlNet's params from a trained UNet (reference:
     svd/temporal_controlnet.py:331-337 ``from_unet``): copy time_embedding
