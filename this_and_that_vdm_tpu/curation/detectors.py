@@ -61,6 +61,56 @@ class UltralyticsGripperDetector:
         return np.asarray(pred.boxes.xywh.detach().cpu().numpy(), np.float32)
 
 
+class NativeGripperDetector:
+    """TPU-native YOLOv8 gripper detector (models/yolov8.py) with the
+    ultralytics predict contract (reference
+    curation_pipeline/select_frame_with_this_that.py:384-385): BGR numpy in,
+    [N, 4] xywh center boxes out.
+
+    Loads ultralytics ``.pt`` checkpoints via the shell-unpickler
+    (``weights/convert.load_ultralytics_state_dict``) — no ultralytics
+    package needed; the architecture scale (n/s/m, class count, DFL bins)
+    is inferred from the weights."""
+
+    def __init__(self, weight_path: Optional[str] = None, params=None,
+                 cfg=None, imgsz: int = 640, conf: float = 0.25,
+                 iou: float = 0.7):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.yolov8 import YOLOv8, YOLOv8Config
+
+        if params is None:
+            from ..weights.convert import (
+                load_ultralytics_state_dict, yolo_state_dict_to_flax,
+            )
+
+            sd = load_ultralytics_state_dict(weight_path)
+            cfg = YOLOv8Config.from_state_dict(sd)
+            params = yolo_state_dict_to_flax(sd)
+        assert cfg is not None, "pass cfg with params"
+        self.cfg = cfg
+        self.model = YOLOv8(cfg)
+        self.params = params
+        self.imgsz = imgsz
+        self.conf = conf
+        self.iou = iou
+        self.jnp = jnp
+        self._fwd = jax.jit(lambda p, x: self.model.apply(p, x))
+
+    def boxes_xywh(self, image_bgr: np.ndarray) -> np.ndarray:
+        from ..models.yolov8 import letterbox_np, nms_np, scale_boxes_np
+
+        img = np.asarray(image_bgr)
+        padded, ratio, pad = letterbox_np(img, self.imgsz)
+        x = padded[..., ::-1].astype(np.float32) / 255.0  # BGR -> RGB, [0,1]
+        pred = np.asarray(
+            self._fwd(self.params, self.jnp.asarray(x[None])), np.float32)[0]
+        boxes, _conf, _cls = nms_np(
+            pred[:, :4], pred[:, 4:], self.conf, self.iou)
+        return scale_boxes_np(boxes, ratio, pad, img.shape[:2])
+
+
 class SAMSegmenter:
     """segment-anything point/box segmenter (reference :387-390)."""
 

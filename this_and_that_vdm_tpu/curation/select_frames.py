@@ -222,6 +222,10 @@ def main(argv=None):
     p.add_argument("input_root")
     p.add_argument("output_root")
     p.add_argument("--yolo", required=True, help="ultralytics gripper weights")
+    p.add_argument("--yolo-backend", default="native",
+                   choices=("native", "torch"),
+                   help="native = TPU flax YOLOv8 (models/yolov8.py); "
+                        "torch = external ultralytics package")
     p.add_argument("--sam", default=None, help="segment-anything checkpoint")
     p.add_argument("--sam-type", default="vit_h")
     p.add_argument("--sam-backend", default="native",
@@ -233,10 +237,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from .detectors import (
-        NativeSAMSegmenter, SAMSegmenter, UltralyticsGripperDetector,
+        NativeGripperDetector, NativeSAMSegmenter, SAMSegmenter,
+        UltralyticsGripperDetector,
     )
 
-    detector = UltralyticsGripperDetector(args.yolo)
+    yolo_cls = (NativeGripperDetector if args.yolo_backend == "native"
+                else UltralyticsGripperDetector)
+    detector = yolo_cls(args.yolo)
     sam_cls = NativeSAMSegmenter if args.sam_backend == "native" else SAMSegmenter
     segmenter = sam_cls(args.sam, args.sam_type) if args.sam else None
     messages = process_dataset(

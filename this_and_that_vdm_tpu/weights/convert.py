@@ -284,6 +284,96 @@ def sam_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
     return {"params": params}
 
 
+def load_ultralytics_state_dict(path: str) -> Dict[str, "np.ndarray"]:
+    """Flat numpy state dict from an ultralytics ``.pt`` checkpoint WITHOUT
+    the ultralytics package installed.
+
+    Ultralytics pickles the whole ``DetectionModel`` nn.Module (not a plain
+    state dict), so normal ``torch.load`` needs its class definitions.  We
+    unpickle with shell classes instead: every ``ultralytics.*`` class
+    resolves to an empty stand-in whose ``__setstate__`` just stores the
+    instance ``__dict__``; tensors are restored by torch's own persistent
+    loader.  The module tree is then walked through ``_parameters`` /
+    ``_buffers`` / ``_modules`` to rebuild the dotted state-dict names
+    (fp16 leaves are upcast to fp32, the serving precision of the eval-mode
+    detector)."""
+    import pickle
+    import types
+
+    import torch
+
+    class _Shell:
+        def __init__(self, *args, **kwargs):
+            pass
+
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+            elif isinstance(state, tuple):
+                for part in state:
+                    if isinstance(part, dict):
+                        self.__dict__.update(part)
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module.split(".")[0] == "ultralytics":
+                return type(name, (_Shell,), {})
+            return super().find_class(module, name)
+
+    shim = types.ModuleType("ultralytics_shim")
+    shim.Unpickler = _Unpickler
+    shim.load = lambda f, **kw: _Unpickler(f, **kw).load()
+    ckpt = torch.load(path, map_location="cpu", pickle_module=shim,
+                      weights_only=False)
+    model = ckpt.get("ema") or ckpt["model"]  # attempt_load_one_weight rule
+
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        d = getattr(node, "__dict__", {})
+        for k, v in (d.get("_parameters") or {}).items():
+            if v is not None:
+                out[prefix + k] = v.detach().float().numpy()
+        for k, v in (d.get("_buffers") or {}).items():
+            if v is not None:
+                out[prefix + k] = v.float().numpy()
+        for k, v in (d.get("_modules") or {}).items():
+            if v is not None:
+                walk(v, f"{prefix}{k}.")
+
+    walk(model, "")
+    return out
+
+
+def yolo_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
+    """Convert a YOLOv8 state dict (ultralytics ``DetectionModel`` layout,
+    e.g. from ``load_ultralytics_state_dict``) to the flax params of
+    models/yolov8.py.
+
+    Generic mapping (ints fold into the parent name, so
+    ``model.22.cv2.0.0.conv.weight`` -> ``model_22/cv2_0_0/conv/kernel``)
+    plus: eval-mode BN buffers ``running_mean/var`` -> ``mean/var``;
+    ``num_batches_tracked`` and the fixed-arange ``dfl.conv`` weight are
+    dropped (the DFL expectation is computed in closed form)."""
+    params: Dict = {}
+    for key, value in state.items():
+        if key.endswith("num_batches_tracked") or ".dfl." in key:
+            continue
+        arr = np.asarray(value)
+        path, leaf = torch_key_to_flax_path(key)
+        if leaf == "running_mean":
+            leaf_name, conv = "mean", arr
+        elif leaf == "running_var":
+            leaf_name, conv = "var", arr
+        else:
+            leaf_name, conv = convert_tensor(leaf, arr)
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf_name] = conv
+    return {"params": params}
+
+
 def controlnet_params_from_unet(unet_params: Dict, controlnet_params: Dict) -> Dict:
     """Seed a fresh ControlNet's params from a trained UNet (reference:
     svd/temporal_controlnet.py:331-337 ``from_unet``): copy time_embedding
