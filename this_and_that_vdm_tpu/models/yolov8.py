@@ -82,7 +82,7 @@ class YOLOv8Config:
 
         w0 = np.asarray(sd["model.0.conv.weight"]).shape[0]
         width = w0 / 64.0
-        n2 = len({k.split(".")[2] for k in sd if k.startswith("model.2.m.")})
+        n2 = len({k.split(".")[3] for k in sd if k.startswith("model.2.m.")})
         depth = n2 / 3.0
         nc = np.asarray(sd["model.22.cv3.0.2.weight"]).shape[0]
         reg_max = np.asarray(sd["model.22.cv2.0.2.weight"]).shape[0] // 4
