@@ -162,6 +162,81 @@ def bench_train(mode, H, W, F):
     }))
 
 
+def bench_perception(mode: str):
+    """Curation perception models on-chip: SAM ViT-H embed+predict at the
+    official 1024 input, YOLOv8n detect at 640 (reference runs both on GPU
+    via external packages; here they are native flax)."""
+    import numpy as np
+
+    if mode == "sam":
+        from this_and_that_vdm_tpu.models.sam import Sam, SamConfig
+
+        cfg = SamConfig.vit_h()
+        model = Sam(cfg)
+        key = jr.PRNGKey(0)
+        px = jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.bfloat16)
+        pts = jnp.zeros((1, 8, 2))
+        lbl = jnp.zeros((1, 8), jnp.int32)
+        params = _zeros_like_tree(jax.eval_shape(
+            lambda: model.init(key, px.astype(jnp.float32), pts, lbl)))
+        # chained reps: each call's input depends on the previous output so
+        # dispatches cannot overlap in the async queue (PERF.md discipline)
+        enc = jax.jit(lambda p, x: (
+            lambda e: (e, x + jnp.mean(e.astype(jnp.float32)).astype(x.dtype)))(
+            model.apply(p, x, method=Sam.encode_image)))
+        pred = jax.jit(lambda p, e, pt, lb: (
+            lambda m: (m[0], pt + jnp.mean(m[0]).astype(pt.dtype) * 1e-12))(
+            model.apply(p, e, pt, lb, method=Sam.predict)))
+        emb, cx = enc(params, px)
+        float(jnp.sum(emb.astype(jnp.float32)))  # warm + readback
+        masks, cp = pred(params, emb, pts, lbl)
+        float(jnp.sum(masks))
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            emb, cx = enc(params, cx)
+        float(jnp.sum(emb.astype(jnp.float32)))
+        dt_enc = (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        for _ in range(n):
+            masks, cp = pred(params, emb, cp, lbl)
+        float(jnp.sum(masks))
+        dt_pred = (time.perf_counter() - t0) / n
+        print(json.dumps({
+            "metric": "SAM ViT-H image embed ms (1024x1024, bf16, 1 chip)",
+            "value": round(dt_enc * 1e3, 2), "unit": "ms",
+            "vs_baseline": 1.0,
+            "basis": f"no reference number; predict={dt_pred*1e3:.2f} ms "
+                     "(8-slot prompt, 4-token mask decode)",
+        }))
+        return
+
+    from this_and_that_vdm_tpu.models.yolov8 import YOLOv8, YOLOv8Config
+
+    cfg = YOLOv8Config.n_scale()
+    model = YOLOv8(cfg)
+    x = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    params = _zeros_like_tree(
+        jax.eval_shape(lambda: model.init(jr.PRNGKey(0), x)), jnp.float32)
+    fwd = jax.jit(lambda p, a: (
+        lambda o: (o, a + jnp.mean(o).astype(a.dtype) * 1e-12))(
+        model.apply(p, a)))
+    out, cx = fwd(params, x)
+    float(jnp.sum(out))
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out, cx = fwd(params, cx)  # chained: no dispatch overlap
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps({
+        "metric": "YOLOv8n detect ms (640x640, fp32, 1 chip, incl. DFL decode)",
+        "value": round(dt * 1e3, 2), "unit": "ms",
+        "vs_baseline": 1.0,
+        "basis": "no reference number (ultralytics GPU path)",
+    }))
+
+
 def main():
     from this_and_that_vdm_tpu.models.unet import (
         UNetSpatioTemporalConditionModel, UNetConfig,
@@ -187,6 +262,8 @@ def main():
         # trainables — the reference's mixed-precision recipe); BENCH_DTYPE
         # only affects the inference modes.
         return bench_train(mode, H, W, F)
+    if mode in ("sam", "yolo"):
+        return bench_perception(mode)
 
     unet = UNetSpatioTemporalConditionModel(UNetConfig(), dtype=dtype)
     uparams = _zeros_like_tree(jax.eval_shape(
