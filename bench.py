@@ -10,8 +10,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 >1.0 means faster than the target. The reference repo publishes no numbers
 (BASELINE.md), so the driver's north-star is the comparison point.
 
-Env knobs: BENCH_STEPS (default 25), BENCH_MODE=vgl|vl|unet|train|train_vgl
-(default vgl), BENCH_DTYPE=bf16|f32, BENCH_BAKE=1|0 (serving weight baking).
+Env knobs: BENCH_STEPS (default 25), BENCH_MODE=vgl|vl|unet|train|train_vgl|
+sam|yolo (default vgl), BENCH_DTYPE=bf16|f32, BENCH_BAKE=1|0 (serving weight
+baking), BENCH_CURVE=N (train modes: N extra fixed-batch steps with random
+init, per-step loss readback — the on-chip learning-sanity artifact).
 
 ``train`` / ``train_vgl``: full-size EDM train step (frozen VAE+CLIP encodes,
 noising + conditioning dropout, fwd+bwd with per-block remat, 8-bit Adam
@@ -70,6 +72,28 @@ def _zeros_like_tree(tree, dtype=jnp.bfloat16):
     return jax.tree.map(mk, tree)
 
 
+def _rand_like_tree(tree, dtype=jnp.bfloat16, seed=0, scale=1.0):
+    """Host-side fan-in-scaled random init (BENCH_CURVE mode: zero weights
+    would make the EDM loss identically ~0 — targets come from the zeroed
+    VAE — so learning-sanity curves need a live network; device-side
+    model.init would pay a second multi-minute tunnel compile)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+
+    def mk(s):
+        if not jnp.issubdtype(s.dtype, jnp.floating):
+            return jnp.zeros(s.shape, s.dtype)
+        fan_in = 1
+        for d in s.shape[:-1]:
+            fan_in *= d
+        std = scale / max(1.0, float(fan_in)) ** 0.5
+        return jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * std, dtype)
+
+    return jax.tree.map(mk, tree)
+
+
 def bench_train(mode, H, W, F):
     """Full-size EDM train step throughput at the reference's per-device
     batch of 1 (VL: trainable UNet fp32 + remat; VGL: trainable GestureNet,
@@ -114,7 +138,9 @@ def bench_train(mode, H, W, F):
         text_encoder=jax.eval_shape(lambda: modules["text_encoder"].init(
             key, jnp.zeros((1, 77), jnp.int32))),
     )
-    frozen = _zeros_like_tree(frozen_shapes)  # frozen towers served in bf16
+    curve_n = int(os.environ.get("BENCH_CURVE", 0))
+    mk_tree = _rand_like_tree if curve_n else _zeros_like_tree
+    frozen = mk_tree(frozen_shapes)  # frozen towers served in bf16
 
     cfg = trainer.TrainConfig(
         lr_warmup_steps=0, use_8bit_adam=True,
@@ -127,11 +153,11 @@ def bench_train(mode, H, W, F):
         cn_shapes = jax.eval_shape(lambda: cn.init(
             key, usample, jnp.float32(1.6), ust, uai,
             jnp.zeros((2, F, H // 8, W // 8, 4), jnp.bfloat16)))
-        train_params = _zeros_like_tree(cn_shapes, jnp.float32)
-        frozen["unet"] = _zeros_like_tree(uparams)  # frozen UNet in bf16
+        train_params = mk_tree(cn_shapes, jnp.float32)
+        frozen["unet"] = mk_tree(uparams)  # frozen UNet in bf16
         step = trainer.make_vgl_train_step(unet, cn, modules, tx, cfg)
     else:
-        train_params = _zeros_like_tree(uparams, jnp.float32)  # fp32 trainables
+        train_params = mk_tree(uparams, jnp.float32)  # fp32 trainables
         step = trainer.make_vl_train_step(unet, modules, tx, cfg)
 
     state = trainer.init_train_state(train_params, tx)
@@ -154,12 +180,22 @@ def bench_train(mode, H, W, F):
     assert np.isfinite(float(metrics["loss"]))  # forces the whole chain
     dt = (time.perf_counter() - t0) / n
     name = "VGL (GestureNet)" if vgl else "VL (UNet fp32+remat)"
-    print(json.dumps({
+    record = {
         "metric": f"{name} EDM train steps/sec/chip (batch {B}, 14f 256x384, 8-bit Adam)",
         "value": round(1.0 / dt, 3), "unit": "steps/s",
         "vs_baseline": 1.0,  # reference publishes no training throughput
         "basis": "1 real chip; no reference training-throughput baseline",
-    }))
+    }
+    if curve_n:
+        # learning-sanity artifact: keep stepping on the SAME batch with the
+        # SAME noise draw (fixed rng key) — the full-size step must drive its
+        # own EDM loss down (overfit one example). Per-step host readback.
+        losses = []
+        for i in range(curve_n):
+            state, metrics = step(state, frozen, batch, jr.PRNGKey(777))
+            losses.append(round(float(metrics["loss"]), 5))
+        record["loss_curve_fixed_batch"] = losses
+    print(json.dumps(record))
 
 
 def bench_perception(mode: str):
