@@ -36,7 +36,10 @@ _TILE = 512  # rows (256-elem blocks) per grid step; 512x256 f32 = 512 KB
 
 
 def _dequant_tile(q, scale, signed: bool, n_mags: int):
-    return _decode(q.astype(jnp.float32), signed, n_mags) * scale
+    # Mosaic has no direct uint8->f32 cast; widen through int32 (probed on
+    # v5e: uint8->int32->f32 lowers, uint8->f32 and uint32->f32 do not)
+    return _decode(q.astype(jnp.int32).astype(jnp.float32),
+                   signed, n_mags) * scale
 
 
 def _quant_tile(x, signed: bool, n_mags: int):
@@ -44,7 +47,7 @@ def _quant_tile(x, signed: bool, n_mags: int):
     scale = jnp.max(jnp.abs(x), axis=1, keepdims=True)
     safe = jnp.where(scale > 0.0, scale, 1.0)
     q = _encode(x / safe, signed, n_mags)
-    return q.astype(jnp.uint8), scale
+    return q.astype(jnp.int32).astype(jnp.uint8), scale  # f32->i32->u8
 
 
 def _adam8bit_kernel(bc_ref, g_ref, mq_ref, ms_ref, nq_ref, ns_ref,
