@@ -171,3 +171,10 @@ def test_native_segmenter_end_to_end_and_cache():
     other = (img.astype(np.int32) + 7 % 255).astype(np.uint8)
     seg.predict_mask_labeled(other, np.array([[10.0, 15.0]]), np.array([1]))
     assert calls["n"] == 2
+
+    # prompt counts beyond max_points bucket up instead of raising — the
+    # trajectory SAM stage sends 20 labelled points (pick_start_point_sam)
+    rng20 = np.random.RandomState(6)
+    pts20 = rng20.rand(20, 2) * [50, 30]
+    m20 = seg.predict_mask_labeled(img, pts20, np.ones(20))
+    assert m20.shape == (30, 50)

@@ -214,8 +214,14 @@ class NativeSAMSegmenter:
 
         emb, input_hw, orig_hw = self._set_image(image_rgb)
         n = len(coords_xy)
-        pts = np.zeros((1, self.max_points, 2), np.float32)
-        lbl = np.full((1, self.max_points), -1, np.int32)
+        # static-shape slot buckets (multiples of max_points) so arbitrary
+        # prompt counts — e.g. the trajectory SAM stage's 20 sampled points
+        # (curation/trajectory.py::pick_start_point_sam) — compile at most a
+        # handful of predict variants
+        slots = max(self.max_points,
+                    -(-n // self.max_points) * self.max_points)
+        pts = np.zeros((1, slots, 2), np.float32)
+        lbl = np.full((1, slots), -1, np.int32)
         pts[0, :n] = transform_coords_np(
             np.asarray(coords_xy, np.float32), orig_hw, self.cfg.img_size)
         lbl[0, :n] = np.asarray(labels, np.int32)
