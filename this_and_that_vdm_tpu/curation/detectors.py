@@ -289,6 +289,55 @@ class FlowFormerFlow:
         return flow.permute(1, 2, 0).cpu().numpy()
 
 
+class NativeRAFTFlow:
+    """TPU-native RAFT optical flow (models/raft.py) with the FlowFn
+    contract: (prev_rgb, next_rgb) uint8 -> [H, W, 2] float flow.
+
+    Stands in for the reference's user-vendored FlowFormer
+    (scripts/generate_traj.py:20-26) with a flow network the framework owns:
+    official ``raft-things.pth``/``raft-sintel.pth`` checkpoints load
+    through ``weights/convert.raft_state_dict_to_flax`` (torch used only to
+    unpickle).  Frames are sintel-style replicate-padded to a multiple of 8
+    (matching FlowFormerFlow's InputPadder), run through one jitted forward
+    per shape, and unpadded."""
+
+    def __init__(self, checkpoint: Optional[str] = None, params=None,
+                 cfg=None, iters: int = 20):
+        import jax
+
+        from ..models import raft as raft_mod
+
+        if params is None:
+            import torch
+
+            from ..weights.convert import raft_state_dict_to_flax
+
+            state = torch.load(checkpoint, map_location="cpu",
+                               weights_only=True)
+            state = {k: v.numpy() for k, v in state.items()}
+            cfg = raft_mod.RAFTConfig.from_state_dict(
+                {k.removeprefix("module."): v for k, v in state.items()})
+            params = raft_state_dict_to_flax(state)
+        assert cfg is not None, "pass cfg with params"
+        self.cfg = cfg
+        self.model = raft_mod.RAFT(cfg)
+        self.params = params
+        self.iters = iters
+        self._fwd = jax.jit(
+            lambda p, i1, i2: raft_mod.raft_forward(
+                self.model, p, i1, i2, iters=self.iters)[1])
+
+    def __call__(self, prev_rgb: np.ndarray, next_rgb: np.ndarray) -> np.ndarray:
+        from ..models.raft import pad_to_multiple
+
+        p1, (top, left, h, w) = pad_to_multiple(np.asarray(prev_rgb))
+        p2, _ = pad_to_multiple(np.asarray(next_rgb))
+        x1 = p1.astype(np.float32)[None]
+        x2 = p2.astype(np.float32)[None]
+        flow = np.asarray(self._fwd(self.params, x1, x2), np.float32)
+        return flow[0, top:top + h, left:left + w]
+
+
 def farneback_flow(prev_rgb: np.ndarray, next_rgb: np.ndarray) -> np.ndarray:
     """Dense optical flow fallback (cv2 Farneback) — stands in for FlowFormer
     (reference scripts/generate_traj.py:23-26 vendors FlowFormer, which the

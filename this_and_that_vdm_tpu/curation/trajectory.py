@@ -5,9 +5,11 @@ centered start point -> chained local-mean trajectory with expanding search
 -> ``traj_data.txt``) and scripts/motion_stats.py (per-video mean flow
 magnitude -> the N(35.3, 18.5)/N(25, 10) constants in the training YAMLs).
 
-The flow backend is injectable: FlowFormer (vendored, as the reference
-expects its user to do) or the built-in cv2 Farneback fallback
-(detectors.farneback_flow) so everything runs without extra checkpoints.
+The flow backend is injectable: the native TPU RAFT (models/raft.py,
+``--raft ckpt`` — loads published raft-things/sintel checkpoints),
+FlowFormer (vendored, as the reference expects its user to do), or the
+built-in cv2 Farneback fallback (detectors.farneback_flow) so everything
+runs without extra checkpoints.
 """
 
 from __future__ import annotations
@@ -319,6 +321,9 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=1)
     p.add_argument("--frames", type=int, default=14)
     p.add_argument("--flowformer", default=None, help="FlowFormer checkpoint (vendored flowformer_code)")
+    p.add_argument("--raft", default=None,
+                   help="RAFT checkpoint (e.g. raft-things.pth) for the "
+                        "native TPU flow network (models/raft.py)")
     p.add_argument("--sam", default=None, help="segment-anything checkpoint")
     p.add_argument("--sam-type", default="vit_h")
     p.add_argument("--sam-backend", default="native",
@@ -329,7 +334,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     flow_fn = farneback_flow
-    if args.flowformer:
+    if args.raft:
+        from .detectors import NativeRAFTFlow
+
+        flow_fn = NativeRAFTFlow(args.raft)
+    elif args.flowformer:
         from .detectors import FlowFormerFlow
 
         flow_fn = FlowFormerFlow(args.flowformer)

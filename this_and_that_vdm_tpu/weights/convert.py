@@ -404,3 +404,46 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
         for k in f.keys():
             out[k] = f.get_tensor(k)
     return out
+
+
+def raft_state_dict_to_flax(state: Mapping[str, "np.ndarray"]) -> Dict:
+    """Convert an official RAFT checkpoint (princeton-vl layout — e.g. the
+    published ``raft-things.pth``/``raft-sintel.pth``, whose keys carry a
+    DataParallel ``module.`` prefix) to models/raft.py flax params.
+
+    Mapping: int path segments fold into the parent (``layer1.0.conv1`` ->
+    ``layer1_0/conv1``, ``mask.0`` -> ``mask_0``); ``flow_head.convN`` ->
+    ``flow_head_convN``; eval-mode BN buffers ``running_mean/var`` ->
+    FrozenBatchNorm ``mean/var``.  ``norm3.*`` entries are dropped — the
+    official ResidualBlock registers that module a second time inside the
+    downsample Sequential, so the same tensors also appear as
+    ``downsample.1.*`` (the name this module uses).  fnet's instance norms
+    have no parameters on either side."""
+    params: Dict = {}
+    for key, value in state.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        parts = key.split(".")
+        leaf = parts.pop()
+        if leaf == "num_batches_tracked" or "norm3" in parts:
+            continue
+        path = []
+        for p in parts:
+            if p.isdigit():
+                path[-1] = f"{path[-1]}_{p}"
+            elif path and path[-1] == "flow_head":
+                path[-1] = f"flow_head_{p}"
+            else:
+                path.append(p)
+        arr = np.asarray(value)
+        if leaf == "running_mean":
+            leaf_name, conv = "mean", arr
+        elif leaf == "running_var":
+            leaf_name, conv = "var", arr
+        else:
+            leaf_name, conv = convert_tensor(leaf, arr)
+        node = params
+        for p in path:
+            node = node.setdefault(p, {})
+        node[leaf_name] = conv
+    return {"params": params}
