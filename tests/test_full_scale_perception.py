@@ -102,3 +102,24 @@ def test_yolo_full_scale_wiring(scale):
     shapes = jax.eval_shape(
         model.init, jax.random.PRNGKey(0), jnp.zeros((1, 192, 192, 3)))
     _assert_same_tree(converted, shapes)
+
+
+def test_raft_full_scale_wiring():
+    from this_and_that_vdm_tpu.models.raft import RAFT, RAFTConfig
+    from this_and_that_vdm_tpu.weights.convert import raft_state_dict_to_flax
+    import raft_oracle
+
+    cfg = RAFTConfig.large()
+    with torch.device("meta"):
+        oracle = raft_oracle.RAFT(cfg)
+    sd = _shape_state(oracle)
+    converted = raft_state_dict_to_flax(sd)
+
+    # the shape sniffer must reconstruct the checkpoint config exactly
+    assert RAFTConfig.from_state_dict(sd) == cfg
+
+    model = RAFT(cfg)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 96, 3)), jnp.zeros((1, 64, 96, 3)))
+    _assert_same_tree(converted, shapes)
