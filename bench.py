@@ -11,7 +11,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 (BASELINE.md), so the driver's north-star is the comparison point.
 
 Env knobs: BENCH_STEPS (default 25), BENCH_MODE=vgl|vl|unet|train|train_vgl|
-sam|yolo (default vgl), BENCH_DTYPE=bf16|f32, BENCH_BAKE=1|0 (serving weight
+sam|yolo|raft (default vgl), BENCH_DTYPE=bf16|f32, BENCH_BAKE=1|0 (serving weight
 baking), BENCH_CURVE=N (train modes: N extra fixed-batch steps with random
 init, per-step loss readback — the on-chip learning-sanity artifact).
 
@@ -200,9 +200,41 @@ def bench_train(mode, H, W, F):
 
 def bench_perception(mode: str):
     """Curation perception models on-chip: SAM ViT-H embed+predict at the
-    official 1024 input, YOLOv8n detect at 640 (reference runs both on GPU
-    via external packages; here they are native flax)."""
+    official 1024 input, YOLOv8n detect at 640, RAFT-large flow at Bridge
+    resolution (reference runs all three on GPU via external packages /
+    user-vendored FlowFormer; here they are native flax)."""
     import numpy as np
+
+    if mode == "raft":
+        from this_and_that_vdm_tpu.models.raft import (
+            RAFT, RAFTConfig, raft_forward,
+        )
+
+        cfg = RAFTConfig.large()
+        model = RAFT(cfg)
+        H, W = 256, 384  # Bridge frame size the trajectory generator sees
+        i1 = jnp.zeros((1, H, W, 3), jnp.float32)
+        params = _zeros_like_tree(jax.eval_shape(
+            lambda: model.init(jr.PRNGKey(0), i1, i1)), jnp.float32)
+        iters = int(os.environ.get("BENCH_RAFT_ITERS", 12))
+        fwd = jax.jit(lambda p, a, b: (
+            lambda fl: (fl, a + jnp.mean(fl).astype(a.dtype) * 1e-12))(
+            raft_forward(model, p, a, b, iters=iters)[1]))
+        flow, cx = fwd(params, i1, i1)
+        float(jnp.sum(flow))  # warm + readback
+        n = 10
+        t0 = time.perf_counter()
+        for _ in range(n):
+            flow, cx = fwd(params, cx, i1)  # chained: no dispatch overlap
+        float(jnp.sum(flow))
+        dt = (time.perf_counter() - t0) / n
+        print(json.dumps({
+            "metric": f"RAFT-large flow ms (256x384 pair, {iters} iters, fp32, 1 chip)",
+            "value": round(dt * 1e3, 2), "unit": "ms",
+            "vs_baseline": 1.0,
+            "basis": "no reference number (user-vendored FlowFormer on GPU)",
+        }))
+        return
 
     if mode == "sam":
         from this_and_that_vdm_tpu.models.sam import Sam, SamConfig
@@ -298,7 +330,7 @@ def main():
         # trainables — the reference's mixed-precision recipe); BENCH_DTYPE
         # only affects the inference modes.
         return bench_train(mode, H, W, F)
-    if mode in ("sam", "yolo"):
+    if mode in ("sam", "yolo", "raft"):
         return bench_perception(mode)
 
     unet = UNetSpatioTemporalConditionModel(UNetConfig(), dtype=dtype)
