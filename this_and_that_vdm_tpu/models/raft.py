@@ -279,9 +279,14 @@ def build_corr_pyramid(f1: jnp.ndarray, f2: jnp.ndarray,
     Returns per level [B*H*W, H/2^i, W/2^i, 1] fp32 (query-major layout —
     each query pixel owns a little correlation image to sample from)."""
     b, h, w, d = f1.shape
+    # precision pinned: TPU default matmul precision would run this in
+    # bf16 passes, and the correlation values steer sub-pixel lookups —
+    # the one matmul here that cannot tolerate truncation (it is tiny:
+    # (HW/64)^2 x fdim at 1/8 resolution)
     corr = jnp.einsum("bpd,bqd->bpq", f1.reshape(b, h * w, d),
                       f2.reshape(b, h * w, d),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     corr = corr / jnp.sqrt(jnp.float32(d))
     corr = corr.reshape(b * h * w, h, w, 1)
     pyramid = [corr]
