@@ -361,7 +361,7 @@ def main():
         # remote-device tunnel can return before execution finishes.
         float(jnp.sum(fn(uparams, x)))
         dts = []
-        for _ in range(3):
+        for _ in range(int(os.environ.get("BENCH_REPEATS", 5))):
             t0 = time.perf_counter()
             float(jnp.sum(fn(uparams, x)))
             dts.append((time.perf_counter() - t0) / steps)
@@ -373,6 +373,8 @@ def main():
             # VERDICT r1 weak#5: the ratio is cross-basis by necessity —
             # numerator is the v5e-8 north star, denominator one chip
             "basis": "1 chip measured vs v5e-8 north-star (<10 s/clip)",
+            "repeats": len(dts),
+            "steps_per_s_samples": [round(1.0 / d, 3) for d in dts],
         }))
         return
 
@@ -422,17 +424,28 @@ def main():
         run = lambda: pipe(image, cond, **call_kwargs)
 
     run()  # compile + warm
-    n = 3
-    t0 = time.perf_counter()
+    # N individually-timed repeats (each run() ends in a host numpy readback,
+    # so per-rep walls are sound); median + spread so tunnel noise and real
+    # regressions are distinguishable (VERDICT r2 weak #2: the 4.61->4.81
+    # drift was unreadable from single-sample records).
+    n = int(os.environ.get("BENCH_REPEATS", 5))
+    reps = []
     for _ in range(n):
+        t0 = time.perf_counter()
         out = run()
-    dt = (time.perf_counter() - t0) / n / B  # np output = host readback
+        reps.append((time.perf_counter() - t0) / B)
+    reps_s = sorted(reps)
+    dt = reps_s[len(reps_s) // 2] if n % 2 else (
+        reps_s[n // 2 - 1] + reps_s[n // 2]) / 2
     batch_note = f", batch {B}" if B > 1 else ""
     print(json.dumps({
         "metric": f"sec per 14-frame 256x384 {mode.upper()} clip @{steps} steps (1 chip, bf16{batch_note})",
         "value": round(dt, 3), "unit": "s/clip",
         "vs_baseline": round(10.0 / dt, 3),
         "basis": "1 chip measured vs v5e-8 north-star (<10 s/clip)",
+        "repeats": n, "median": round(dt, 3),
+        "min": round(reps_s[0], 3), "max": round(reps_s[-1], 3),
+        "samples": [round(r, 3) for r in reps],
     }))
 
 

@@ -23,7 +23,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 from this_and_that_vdm_tpu.parallel import (  # noqa: E402
-    distributed_init, is_main_process, make_mesh, shard_batch,
+    distributed_init, global_batch, is_main_process, make_mesh, shard_batch,
 )
 
 assert distributed_init() is True
@@ -38,11 +38,25 @@ n_local = jax.local_device_count()
 mesh = make_mesh(dcn=2, dp=n_local, fsdp=1)
 assert mesh.axis_names == ("dcn", "dp", "fsdp")
 
-# per-process shard of a global batch; value depends on the process so the
-# reduction proves cross-DCN communication actually happened
-local = np.full((n_local, 4), float(pid + 1), np.float32)
-spec = shard_batch({"x": local}, mesh)["x"]
-x = jax.make_array_from_process_local_data(spec, local)
+# per-process LOCAL shard of a global batch, fed exactly like the train
+# loop feeds it (global_batch); the value depends on the process so the
+# reduction proves cross-DCN communication actually happened.  At
+# n_local=1 the local leading dim (1) does NOT divide the mesh extent
+# (2) — the round-2 bug was computing the spec from this local shape
+# (silent replicate -> rank 0's data only -> sum 4, not 12).
+x = global_batch({"x": np.full((n_local, 4), float(pid + 1), np.float32)},
+                 mesh)["x"]
+assert x.shape == (2 * n_local, 4), x.shape  # GLOBAL leading dim
+
+# shard_batch on the local batch must now refuse loudly, not replicate
+try:
+    shard_batch({"x": np.zeros((1, 4), np.float32)},
+                make_mesh(dcn=2, dp=n_local, fsdp=1))
+except ValueError:
+    pass
+else:
+    raise AssertionError("shard_batch silently accepted a non-divisible "
+                         "batch leaf")
 
 out_sharding = NamedSharding(mesh, P())
 total = jax.jit(lambda a: a.sum(), out_shardings=out_sharding)(x)

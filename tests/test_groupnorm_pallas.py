@@ -63,3 +63,54 @@ def test_group_norm_constant_input_is_finite():
     with pltpu.force_tpu_interpret_mode():
         got = gnp.group_norm_silu(x.reshape(2, -1, c), scale, bias, g, 1e-5, False)
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_gn_partitioning_rule_inside_sharded_program(monkeypatch):
+    """Round-3 (VERDICT r2 next #8): the fused-GN knob must be safe inside a
+    sharded program.  Mosaic bodies can't run on CPU (and interpret-mode
+    callbacks can't lower inside the partitioner), so the kernel body is
+    swapped for its XLA math: this validates the Shardy rule, the partition
+    fn, and per-shard result assembly — the same treatment/coverage as flash
+    attention and the fused Adam kernel."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    def xla_body(x, scale2d, bias2d, onehot, *, eps, with_silu, count):
+        xf = x.astype(jnp.float32)
+        s1 = jnp.einsum("nsc,cg->ng", xf, onehot)
+        s2 = jnp.einsum("nsc,cg->ng", xf * xf, onehot)
+        mean = s1 / count
+        var = jnp.maximum(s2 / count - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + eps)
+        inv_c = jnp.einsum("ng,cg->nc", inv, onehot)[:, None, :]
+        mean_c = jnp.einsum("ng,cg->nc", mean, onehot)[:, None, :]
+        w = inv_c * scale2d
+        b = bias2d - mean_c * w
+        y = xf * w + b
+        if with_silu:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(x.dtype)
+
+    monkeypatch.setattr(gnp, "_gn_pallas", xla_body)
+    gnp._make_partitioned.cache_clear()
+
+    rng = np.random.RandomState(5)
+    n, s, c, g = 8, 16, 256, 32
+    x = jnp.asarray(rng.randn(n, s, c), jnp.float32)
+    scale = jnp.asarray(rng.randn(c), jnp.float32)
+    bias = jnp.asarray(rng.randn(c), jnp.float32)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    # the partitioned fn directly: group_norm_silu routes to it on TPU
+    # backends only (CPU goes straight to the body for interpret tests)
+    count = float(s * (c // g))
+    onehot = np.zeros((c, g), np.float32)
+    for gi in range(g):
+        onehot[gi * (c // g): (gi + 1) * (c // g), gi] = 1.0
+    part = gnp._make_partitioned(1e-5, True, count)
+    got = jax.jit(lambda a: part(
+        a, scale.reshape(1, c), bias.reshape(1, c), jnp.asarray(onehot)))(xs)
+    gnp._make_partitioned.cache_clear()
+
+    want = jax.nn.silu(_group_norm(x, scale, bias, g, 1e-5))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

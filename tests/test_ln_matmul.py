@@ -74,3 +74,30 @@ def test_block_picker():
     assert 2688 % lm._pick_block(2688, 512, 16) == 0
     assert lm._pick_block(960, 512, 128) == 960  # no 128-multiple divisor fits
     assert lm._pick_block(3840, 768, 128) == 768
+
+
+def test_ln_partitioning_rule_inside_sharded_program(monkeypatch):
+    """Round-3 (VERDICT r2 next #8): the fused-LN knob must be safe inside a
+    sharded program.  Kernel body swapped for the XLA reference (Mosaic
+    can't run on CPU); validates the Shardy rule, partition fn and per-shard
+    assembly — same treatment as flash attention / fused Adam / fused GN."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    def xla_body(x, scale2d, bias2d, w, wb2d, eps):
+        return lm._reference(x, scale2d[0], bias2d[0], w, wb2d[0], eps)
+
+    monkeypatch.setattr(lm, "_ln_matmul_pallas_local", xla_body)
+    lm._make_partitioned.cache_clear()
+
+    x, s, b, w, wb = _make(512, 128, 384, jnp.float32, True, seed=7)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    # the partitioned fn directly: _ln_matmul_pallas routes to it on TPU
+    # backends only (CPU goes straight to the body for interpret tests)
+    part = lm._make_partitioned(1e-5)
+    got = jax.jit(lambda a: part(
+        a, s.reshape(1, -1), b.reshape(1, -1), w, wb.reshape(1, -1)))(xs)
+    lm._make_partitioned.cache_clear()
+
+    want = lm._reference(x, s, b, w, wb, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)

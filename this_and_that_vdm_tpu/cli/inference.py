@@ -56,7 +56,14 @@ def build_pipeline(args):
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     is_gesture = args.model_type == "GestureNet"
 
-    if args.random_weights:
+    # --model-scale decouples architecture size from weight source so a
+    # synthesized tiny HF-layout tree can drive the EXACT --pretrained code
+    # path (the weights-rehearsal chain, cli/rehearsal.py); --random-weights
+    # implies tiny for backward compat.
+    scale = getattr(args, "model_scale", "full")
+    if args.random_weights and scale == "full":
+        scale = "tiny"
+    if scale == "tiny":
         ucfg, ccfg, vcfg = UNetConfig.tiny(), ControlNetConfig.tiny(), VAEConfig.tiny()
         ctx = ucfg.cross_attention_dim
         viscfg = CLIPVisionConfig(hidden_size=32, num_layers=1, num_heads=4,
@@ -104,7 +111,9 @@ def build_pipeline(args):
         unet=unet, vae=vae, image_encoder=vis, text_encoder=txt,
         unet_params=uparams, vae_params=vparams,
         image_encoder_params=visparams, text_encoder_params=txtparams,
-        bake_params=True,  # weights fixed for the whole run: serve baked
+        # weights fixed for the whole run: serve baked (--no-bake keeps them
+        # as arguments, e.g. the rehearsal's weight-swap negative control)
+        bake_params=not getattr(args, "no_bake", False),
     )
     if is_gesture:
         return StableVideoDiffusionControlNetPipeline(
@@ -239,6 +248,13 @@ def main(argv=None):
     p.add_argument("--decode-chunk-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
+    p.add_argument("--model-scale", choices=["full", "tiny"], default="full",
+                   help="architecture size; 'tiny' lets --pretrained load a "
+                        "synthesized tiny HF tree (weights rehearsal)")
+    p.add_argument("--no-bake", action="store_true",
+                   help="keep weights as executable arguments (no constant "
+                        "folding); re-renders with swapped weights reuse the "
+                        "compiled program")
     args = p.parse_args(argv)
     if not args.random_weights and not args.pretrained:
         p.error("either --pretrained <dir> or --random-weights is required")

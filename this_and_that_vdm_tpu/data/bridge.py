@@ -289,12 +289,20 @@ class PrefetchLoader:
     uses its sparse mask, SURVEY.md §2.3)."""
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
-                 seed: int = 42, drop_keys=("controlnet_image_index",)):
+                 seed: int = 42, drop_keys=("controlnet_image_index",),
+                 shard=(0, 1)):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.seed = seed
         self.drop_keys = drop_keys
+        # (rank, world): multihost data sharding — every process builds the
+        # SAME permutation (same seed), then takes a disjoint stride of the
+        # batch list (the DistributedSampler contract of the reference's
+        # accelerate DDP).  Truncated so every rank yields the same count —
+        # a rank with one extra batch would deadlock the collectives.
+        self.shard = tuple(shard)
+        assert 0 <= self.shard[0] < self.shard[1], shard
         self._epoch = 0  # bumps per __iter__ so each epoch reshuffles
 
     def __iter__(self):
@@ -309,6 +317,9 @@ class PrefetchLoader:
             order[i : i + self.batch_size]
             for i in range(0, len(order) - self.batch_size + 1, self.batch_size)
         ]
+        rank, world = self.shard
+        if world > 1:
+            batches = batches[: len(batches) - len(batches) % world][rank::world]
         it = iter(enumerate(batches))
         lock = threading.Lock()
         SENTINEL = object()

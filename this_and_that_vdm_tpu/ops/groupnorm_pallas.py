@@ -63,15 +63,10 @@ def _kernel(x_ref, scale_ref, bias_ref, onehot_ref, o_ref, *, eps, with_silu, co
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "with_silu"))
-def group_norm_silu(x, scale, bias, num_groups: int, eps: float, with_silu: bool):
-    """x: [N, S, C] (stats per (N, group) over S and group channels)."""
+def _gn_pallas(x, scale2d, bias2d, onehot, *, eps, with_silu, count):
+    """Raw pallas_call on (process-)local shapes; grid over the batch rows."""
     n, s, c = x.shape
-    onehot = np.zeros((c, num_groups), np.float32)
-    per = c // num_groups
-    for g in range(num_groups):
-        onehot[g * per : (g + 1) * per, g] = 1.0
-    count = float(s * per)
+    num_groups = onehot.shape[1]
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps, with_silu=with_silu, count=count),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -86,9 +81,77 @@ def group_norm_silu(x, scale, bias, num_groups: int, eps: float, with_silu: bool
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
-    )(
+    )(x, scale2d, bias2d, onehot)
+
+
+# --------------------------------------------------------------------------
+# Sharded-program compatibility (round 3, VERDICT r2 next #8): Mosaic kernels
+# cannot be auto-partitioned by GSPMD; without a rule, flipping
+# TTV_FUSED_GROUPNORM=1 inside a sharded (dp/fsdp/serving-mesh) program fails
+# to compile.  The GN statistics are independent per batch row, so the rule
+# shards the leading N axis and replicates S/C/params — each shard runs the
+# kernel on its local rows (same treatment as ops/adam8bit_pallas.py).
+# --------------------------------------------------------------------------
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _row_spec(sharding):
+    spec = getattr(sharding, "spec", None)
+    if spec is None or not tuple(spec):
+        return P()
+    return P(tuple(spec)[0], None, None)
+
+
+def _cp_infer(mesh, arg_shapes, result_shape):
+    return NamedSharding(mesh, _row_spec(arg_shapes[0].sharding))
+
+
+def _cp_partition(eps, with_silu, count, mesh, arg_shapes, result_shape):
+    row = NamedSharding(mesh, _row_spec(arg_shapes[0].sharding))
+    repl = NamedSharding(mesh, P())
+
+    def lower_fn(x, scale2d, bias2d, onehot):
+        return _gn_pallas(x, scale2d, bias2d, onehot,
+                          eps=eps, with_silu=with_silu, count=count)
+
+    return mesh, lower_fn, row, (row, repl, repl, repl)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_partitioned(eps: float, with_silu: bool, count: float):
+    fn = custom_partitioning(
+        lambda x, s, b, oh: _gn_pallas(x, s, b, oh, eps=eps,
+                                       with_silu=with_silu, count=count))
+    fn.def_partition(
+        partition=functools.partial(_cp_partition, eps, with_silu, count),
+        infer_sharding_from_operands=_cp_infer,
+        # Shardy rule: batch factor n shards; token (s), channel (c), the
+        # params' unit rows (u, v) and group (g) columns replicate.
+        sharding_rule="n s c, u c, v c, c g -> n s c",
+        need_replication_factors=("s", "c", "u", "v", "g"),
+    )
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("num_groups", "eps", "with_silu"))
+def group_norm_silu(x, scale, bias, num_groups: int, eps: float, with_silu: bool):
+    """x: [N, S, C] (stats per (N, group) over S and group channels)."""
+    n, s, c = x.shape
+    onehot = np.zeros((c, num_groups), np.float32)
+    per = c // num_groups
+    for g in range(num_groups):
+        onehot[g * per : (g + 1) * per, g] = 1.0
+    count = float(s * per)
+    args = (
         x,
         scale.reshape(1, c).astype(jnp.float32),
         bias.reshape(1, c).astype(jnp.float32),
         jnp.asarray(onehot),
     )
+    if jax.default_backend() != "tpu":
+        # CPU interpret-mode tests: interpret pallas_calls carry ordered IO
+        # effects that custom_partitioning cannot stage — call the body
+        # directly (the partitioned path is TPU-only, like the kernel)
+        return _gn_pallas(*args, eps=eps, with_silu=with_silu, count=count)
+    return _make_partitioned(eps, with_silu, count)(*args)

@@ -87,8 +87,8 @@ def _kernel(x_ref, s_ref, b_ref, w_ref, wb_ref, o_ref, xn_ref, *, eps):
     o_ref[:] = (acc + wb_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
-def _ln_matmul_pallas(x, scale, bias, w, wb, eps: float):
+def _ln_matmul_pallas_local(x, scale2d, bias2d, w, wb2d, eps: float):
+    """Raw pallas_call on (process-)local shapes."""
     r, c = x.shape
     n = w.shape[1]
     br = _pick_block(r, _MAX_R_BLOCK, 16)
@@ -109,7 +109,61 @@ def _ln_matmul_pallas(x, scale, bias, w, wb, eps: float):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
-    )(
+    )(x, scale2d, bias2d, w, wb2d)
+
+
+# --------------------------------------------------------------------------
+# Sharded-program compatibility (round 3, VERDICT r2 next #8): rows are
+# independent through LN and the matmul's contraction is over the replicated
+# C axis, so the rule shards the leading R axis (the folded batch) and
+# replicates params/weights — same treatment as ops/adam8bit_pallas.py.
+# --------------------------------------------------------------------------
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _row_spec(sharding):
+    spec = getattr(sharding, "spec", None)
+    if spec is None or not tuple(spec):
+        return P()
+    return P(tuple(spec)[0], None)
+
+
+def _cp_infer(mesh, arg_shapes, result_shape):
+    return NamedSharding(mesh, _row_spec(arg_shapes[0].sharding))
+
+
+def _cp_partition(eps, mesh, arg_shapes, result_shape):
+    row = NamedSharding(mesh, _row_spec(arg_shapes[0].sharding))
+    repl = NamedSharding(mesh, P())
+
+    def lower_fn(x, s, b, w, wb):
+        return _ln_matmul_pallas_local(x, s, b, w, wb, eps)
+
+    return mesh, lower_fn, row, (row, repl, repl, repl, repl)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_partitioned(eps: float):
+    fn = custom_partitioning(
+        lambda x, s, b, w, wb: _ln_matmul_pallas_local(x, s, b, w, wb, eps))
+    fn.def_partition(
+        partition=functools.partial(_cp_partition, eps),
+        infer_sharding_from_operands=_cp_infer,
+        # Shardy rule: row factor r shards; contraction (c), output columns
+        # (n) and the params' unit rows (u, v, t) replicate.
+        sharding_rule="r c, u c, v c, c n, t n -> r n",
+        # factor-index sorted order (Shardy verifier requirement)
+        need_replication_factors=("c", "u", "v", "n", "t"),
+    )
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("eps",))
+def _ln_matmul_pallas(x, scale, bias, w, wb, eps: float):
+    r, c = x.shape
+    n = w.shape[1]
+    args = (
         x,
         scale.reshape(1, c).astype(jnp.float32),
         bias.reshape(1, c).astype(jnp.float32),
@@ -117,6 +171,12 @@ def _ln_matmul_pallas(x, scale, bias, w, wb, eps: float):
         (jnp.zeros((1, n), jnp.float32) if wb is None
          else wb.reshape(1, n).astype(jnp.float32)),
     )
+    if jax.default_backend() != "tpu":
+        # CPU interpret-mode tests: interpret pallas_calls carry ordered IO
+        # effects that custom_partitioning cannot stage — call the body
+        # directly (the partitioned path is TPU-only, like the kernel)
+        return _ln_matmul_pallas_local(*args, eps=eps)
+    return _make_partitioned(eps)(*args)
 
 
 def _reference(x, scale, bias, w, wb, eps):

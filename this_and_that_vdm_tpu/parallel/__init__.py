@@ -4,6 +4,7 @@ from .mesh import (
     make_serving_mesh,
     shard_params,
     shard_batch,
+    global_batch,
     shard_leading,
     replicate,
     replicate_to_mesh,
@@ -17,6 +18,7 @@ __all__ = [
     "make_serving_mesh",
     "shard_params",
     "shard_batch",
+    "global_batch",
     "shard_leading",
     "replicate",
     "replicate_to_mesh",

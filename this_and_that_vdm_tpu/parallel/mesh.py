@@ -117,21 +117,72 @@ def shard_params(params: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
     )
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Batch axis sharded over all data axes jointly ((dcn,)dp,fsdp);
-    rank-0 leaves and leaves whose leading dim the mesh can't divide are
-    replicated (a rank-1 spec on a scalar raises in device_put)."""
+def _batch_axes(mesh: Mesh):
     axes = tuple(a for a in ("dcn", "dp", "fsdp") if a in mesh.axis_names)
     n = 1
     for a in axes:
         n *= mesh.shape[a]
+    return axes, n
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Batch axis sharded over all data axes jointly ((dcn,)dp,fsdp).
+
+    Rank-0 leaves (scalars) are replicated; a batch-like leaf whose leading
+    dim the mesh can't divide RAISES — the round-2 silent-replicate fallback
+    turned a sharding mistake into wrong-but-running semantics (the
+    multi-host local-vs-global batch bug rode exactly this; VERDICT r2 §3)."""
+    axes, n = _batch_axes(mesh)
 
     def spec(x):
-        if np.ndim(x) == 0 or np.shape(x)[0] % n:
+        if np.ndim(x) == 0:
             return NamedSharding(mesh, P())
+        if np.shape(x)[0] % n:
+            raise ValueError(
+                f"batch leaf with leading dim {np.shape(x)[0]} is not "
+                f"divisible by the mesh data extent {n} "
+                f"(axes {axes}, mesh {dict(mesh.shape)}); refusing to "
+                f"silently replicate a batch-like leaf")
         return NamedSharding(mesh, P(axes, *([None] * (np.ndim(x) - 1))))
 
     return jax.tree.map(spec, batch)
+
+
+def global_batch(batch: Any, mesh: Mesh) -> Any:
+    """Build GLOBAL device arrays from a PROCESS-LOCAL host batch.
+
+    The multihost equivalent of ``device_put(batch, shard_batch(batch,
+    mesh))``: each process passes only its local shard (leading dim
+    ``global_B / process_count``, the DistributedSampler contract of the
+    reference's accelerate DDP, train_svd.py:480-485) and gets back arrays
+    whose global leading dim spans every process.  The sharding spec is
+    computed from the GLOBAL shape — computing it from the local shape was
+    the round-2 multi-host bug (a (1,·) local batch fell through to
+    replicated and the cross-process reduction never happened).
+
+    Single-process: identical to the device_put path (no copy semantics
+    change), so callers can use it unconditionally."""
+    axes, n = _batch_axes(mesh)
+    nproc = jax.process_count()
+    if nproc == 1:
+        return jax.device_put(batch, shard_batch(batch, mesh))
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim == 0:
+            # replicated scalar: every process must hold the same value
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P()), x, x.shape)
+        g0 = x.shape[0] * nproc
+        if g0 % n:
+            raise ValueError(
+                f"global batch dim {g0} (= local {x.shape[0]} x "
+                f"{nproc} processes) not divisible by mesh data extent {n}")
+        s = NamedSharding(mesh, P(axes, *([None] * (x.ndim - 1))))
+        return jax.make_array_from_process_local_data(
+            s, x, (g0,) + x.shape[1:])
+
+    return jax.tree.map(put, batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:

@@ -37,11 +37,11 @@ from ..models.clip import (
 from ..data import bridge
 from ..parallel import (
     distributed_init,
+    global_batch,
     host_replicated,
     is_main_process,
     make_mesh,
     replicate,
-    shard_batch,
     shard_params,
 )
 from ..weights import loader as weight_loader
@@ -219,7 +219,12 @@ def main(argv: Optional[list] = None):
     devices = jax.devices()[: args.devices] if args.devices else None
     dcn = args.dcn or (jax.process_count() if multihost else 1)
     mesh = make_mesh(devices=devices, fsdp=args.fsdp, dcn=dcn)
-    batch_size = int(cfg.get("train_batch_size", 1)) * mesh.devices.size
+    # the loader is per-process: it yields the LOCAL shard of the global
+    # batch (reference: accelerate's sharded DataLoader, train_svd.py:480);
+    # global_batch() assembles the cross-process array at feed time
+    global_bs = int(cfg.get("train_batch_size", 1)) * mesh.devices.size
+    assert global_bs % jax.process_count() == 0, (global_bs, jax.process_count())
+    batch_size = global_bs // jax.process_count()
     num_iters = args.max_steps or int(cfg.get("num_train_iters", 100_000))
 
     unet, controlnet, modules = build_models(
@@ -289,6 +294,7 @@ def main(argv: Optional[list] = None):
     loader = bridge.PrefetchLoader(
         dataset, batch_size,
         num_workers=int(cfg.get("dataloader_num_workers", 4)), seed=seed,
+        shard=(jax.process_index(), jax.process_count()),
     )
 
     # shard
@@ -346,13 +352,18 @@ def main(argv: Optional[list] = None):
     step = start_step
     nonfinite_reads = 0
     t0 = time.perf_counter()
-    print(f"training {args.mode} on mesh {dict(mesh.shape)}, batch {batch_size}")
+    print(f"training {args.mode} on mesh {dict(mesh.shape)}, "
+          f"global batch {global_bs} ({batch_size}/process)")
     with mesh:
         while step < num_iters:
             for batch in loader:
                 if step >= num_iters:
                     break
-                batch = jax.device_put(batch, shard_batch(batch, mesh))
+                # single-host: plain sharded device_put; multihost: assemble
+                # the global array from every process's local shard (feeding
+                # the LOCAL batch through shard_batch was the round-2
+                # multi-host bug — replicated spec, rank 0's data only)
+                batch = global_batch(batch, mesh)
                 state, m = step_fn(state, frozen, batch, jr.fold_in(key, step))
                 step += 1
                 if step % 10 == 0 or step == 1:

@@ -86,13 +86,89 @@ def flax_to_torch_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
-def save_hf_layout(params: Dict, out_dir: str, subfolder: str = "unet") -> str:
-    """Write ``<out_dir>/<subfolder>/diffusion_pytorch_model.safetensors``."""
+def save_hf_layout(params: Dict, out_dir: str, subfolder: str = "unet",
+                   variant: str = "") -> str:
+    """Write ``<out_dir>/<subfolder>/diffusion_pytorch_model[.variant].safetensors``.
+
+    ``variant="fp16"`` reproduces the published checkpoints' half-precision
+    file naming (reference test_code/inference.py loads variant="fp16") and
+    stores tensors as fp16."""
     import safetensors.numpy as stnp
 
     d = os.path.join(out_dir, subfolder)
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, "diffusion_pytorch_model.safetensors")
+    stem = ("diffusion_pytorch_model" + (f".{variant}" if variant else "")
+            + ".safetensors")
+    path = os.path.join(d, stem)
     state = flax_to_torch_state_dict(params)
+    if variant == "fp16":
+        state = {k: (v.astype(np.float16)
+                     if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+                 for k, v in state.items()}
+    stnp.save_file({k: np.ascontiguousarray(v) for k, v in state.items()}, path)
+    return path
+
+
+def clip_flax_to_torch_state_dict(params: Dict, kind: str) -> Dict[str, np.ndarray]:
+    """models/clip.py flax params -> transformers CLIP state-dict names
+    (inverse of convert.clip_state_dict_to_flax).
+
+    ``kind``: "text" (CLIPTextModel) or "vision" (CLIPVisionModelWithProjection).
+    Embedding scopes fold back under ``<prefix>embeddings.``; the visual
+    projection stays at the top level, as transformers lays it out."""
+    assert kind in ("text", "vision"), kind
+    prefix = "text_model." if kind == "text" else "vision_model."
+    embed_scopes = ("token_embedding", "position_embedding",
+                    "patch_embedding", "class_embedding")
+    tree = params.get("params", params)
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, path):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                walk(v, path + [k])
+                continue
+            arr = np.asarray(v)
+            if k == "class_embedding" and not path:
+                out[prefix + "embeddings.class_embedding"] = arr
+                continue
+            leaf_name, t = _leaf_to_torch(path, k, arr)
+            parts = []
+            for p in path:
+                base, _, idx = p.rpartition("_")
+                if idx.isdigit() and base == "layers":
+                    parts.extend([base, idx])
+                elif p.startswith("mlp_fc"):
+                    parts.extend(["mlp", p[len("mlp_"):]])
+                else:
+                    parts.append(p)
+            key = ".".join(parts + [leaf_name])
+            if path and path[0] in embed_scopes:
+                key = "embeddings." + key
+            if path and path[0] in ("visual_projection", "text_projection"):
+                out[key] = t  # top-level in transformers
+            else:
+                out[prefix + key] = t
+
+    walk(tree, [])
+    return out
+
+
+def save_clip_hf_layout(params: Dict, out_dir: str, subfolder: str,
+                        kind: str, variant: str = "") -> str:
+    """Write ``<out_dir>/<subfolder>/model[.variant].safetensors`` in
+    transformers naming (the image_encoder/text_encoder subfolders of the
+    published weight repos, weights/loader.py docstring)."""
+    import safetensors.numpy as stnp
+
+    d = os.path.join(out_dir, subfolder)
+    os.makedirs(d, exist_ok=True)
+    stem = "model" + (f".{variant}" if variant else "") + ".safetensors"
+    path = os.path.join(d, stem)
+    state = clip_flax_to_torch_state_dict(params, kind)
+    if variant == "fp16":
+        state = {k: (v.astype(np.float16)
+                     if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+                 for k, v in state.items()}
     stnp.save_file({k: np.ascontiguousarray(v) for k, v in state.items()}, path)
     return path

@@ -41,7 +41,12 @@ def _load_dir(path: str) -> dict:
     state = {}
     for f in files:
         state.update(load_safetensors(f))
-    return state
+    # fp16 is a storage format (published repos ship variant="fp16") — params
+    # are fp32 in this framework; modules cast to their compute dtype (bf16)
+    # at apply time.  Without the upcast, fp16 params + bf16 compute promote
+    # to fp32 mid-graph and change the serving numerics/dtype layout.
+    return {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+            for k, v in state.items()}
 
 
 def load_unet_params(root: str, subfolder: str = "unet"):
