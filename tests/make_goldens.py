@@ -145,12 +145,232 @@ def make_pipeline_self():
         out=np.asarray(out))
 
 
+# ------------------------------------------------------------- perception
+# Round-3 (VERDICT r2 next #5): the SAM/YOLO/RAFT/XMem/CLIP oracles
+# (~2k LoC combined) had no drift tripwire, and their flax parity needed
+# torch in the loop — the exact common-mode-risk argument PARITY.md makes
+# for the SVD goldens.  Each golden pins the oracle state dict + inputs +
+# outputs; test_goldens.py then checks (a) the oracle reproduces its pinned
+# outputs from the pinned weights (code-drift tripwire) and (b) the flax
+# model matches through weights/convert.py with no torch in the path.
+# Exception: the XMem oracle is a fixed full-size resnet18/50 stack (62M
+# params, ~250 MB pinned) — its golden pins inputs/outputs + a state-dict
+# checksum, with weights re-derived from the pinned seeds (drift tripwire
+# only; torch-free parity for XMem would need the 250 MB fixture).
+
+
+def _rand_init_sd(module, seed, scale, skip=()):
+    """Deterministic random state-dict init: generator-seeded randn over
+    state_dict in iteration order (running_var made positive)."""
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    for k, v in sd.items():
+        if v.dtype.is_floating_point and not any(s in k for s in skip):
+            sd[k] = torch.randn(v.shape, generator=g) * scale
+        if k.endswith("running_var"):
+            sd[k] = sd[k].abs() + 0.5
+    module.load_state_dict(sd)
+    return module
+
+
+def sam_oracle_cfg():
+    """Oracle-side view (plain attributes) of SamConfig.tiny()."""
+    import types as _types
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from this_and_that_vdm_tpu.models.sam import SamConfig
+
+    cfg = SamConfig.tiny()
+    return _types.SimpleNamespace(**{
+        k: getattr(cfg, k)
+        for k in ("img_size", "patch_size", "encoder_embed_dim",
+                  "encoder_depth", "encoder_num_heads",
+                  "encoder_global_attn_indexes", "window_size", "mlp_ratio",
+                  "prompt_embed_dim", "mask_in_chans", "decoder_depth",
+                  "decoder_num_heads", "decoder_mlp_dim",
+                  "num_multimask_outputs", "iou_head_depth",
+                  "iou_head_hidden_dim")})
+
+
+def _sam_inputs():
+    rng = np.random.RandomState(0)
+    img = rng.randn(1, 64, 64, 3).astype(np.float32)  # tiny img_size = 64
+    points = np.array(
+        [[[10.5, 20.5], [40.5, 5.5], [0.0, 0.0]],
+         [[8.5, 8.5], [50.5, 40.5], [0.0, 0.0]]], np.float32)
+    labels = np.array([[1, 0, -1], [2, 3, -1]], np.int32)
+    return img, points, labels
+
+
+def make_sam():
+    import sam_oracle
+
+    oracle = _rand_init_sd(sam_oracle.Sam(sam_oracle_cfg()), 0, 0.08).eval()
+    img, points, labels = _sam_inputs()
+    assert img.shape[1] == sam_oracle_cfg().img_size
+    with torch.no_grad():
+        masks, iou = oracle(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                            torch.from_numpy(points), torch.from_numpy(labels))
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "sam_tiny.npz"),
+        img=img, points=points, labels=labels,
+        masks=masks.numpy(), iou=iou.numpy(),
+        **{"sd." + k: v.numpy() for k, v in oracle.state_dict().items()},
+    )
+
+
+def make_yolo():
+    import yolo_oracle
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from this_and_that_vdm_tpu.models.yolov8 import YOLOv8Config
+
+    cfg = YOLOv8Config.tiny(nc=2)
+    # .dfl. holds the fixed arange projection — randomising it would break
+    # the DFL decode contract (same rule as test_yolo._rand_init)
+    oracle = _rand_init_sd(yolo_oracle.DetectionModel(cfg), 0, 0.1,
+                           skip=(".dfl.",)).eval()
+    img = np.random.RandomState(0).rand(1, 64, 96, 3).astype(np.float32)
+    with torch.no_grad():
+        pred = oracle(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "yolo_tiny.npz"),
+        img=img, pred=pred.numpy(),
+        **{"sd." + k: v.numpy() for k, v in oracle.state_dict().items()},
+    )
+
+
+def make_raft():
+    import raft_oracle
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from this_and_that_vdm_tpu.models.raft import RAFTConfig
+
+    cfg = RAFTConfig.tiny()
+    oracle = _rand_init_sd(raft_oracle.RAFT(cfg), 0, 0.1).eval()
+    rng = np.random.RandomState(0)
+    # >=2 px at every pyramid level (grid_sample align_corners constraint)
+    i1 = rng.randint(0, 256, (1, 32, 48, 3)).astype(np.float32)
+    i2 = rng.randint(0, 256, (1, 32, 48, 3)).astype(np.float32)
+    with torch.no_grad():
+        f_low, f_up = oracle(torch.from_numpy(i1).permute(0, 3, 1, 2),
+                             torch.from_numpy(i2).permute(0, 3, 1, 2),
+                             iters=cfg.iters)
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "raft_tiny.npz"),
+        i1=i1, i2=i2, iters=np.int32(cfg.iters),
+        flow_low=f_low.numpy(), flow_up=f_up.numpy(),
+        **{"sd." + k: v.numpy() for k, v in oracle.state_dict().items()},
+    )
+
+
+def build_xmem_oracle():
+    """Seed-derived full-size XMem oracle (shared with the drift test: the
+    62M-param state dict is too large to pin, so the seeds ARE the pin)."""
+    from xmem_oracle import XMemOracle, randomize_bn_stats
+
+    torch.manual_seed(7)
+    oracle = XMemOracle().eval()
+    randomize_bn_stats(oracle, seed=3)
+    return oracle
+
+
+def xmem_sd_checksum(oracle) -> np.ndarray:
+    """Order-sensitive fp64 checksum over every state-dict tensor — cheap
+    tripwire that the seed derivation still produces the same weights."""
+    return np.array([float(v.double().sum()) for v in
+                     oracle.state_dict().values()], np.float64)
+
+
+def make_xmem():
+    oracle = build_xmem_oracle()
+    H, W = 64, 48
+    rng = np.random.default_rng(0)
+    frame0 = rng.standard_normal((1, 3, H, W), np.float32)
+    rng1 = np.random.default_rng(1)
+    frame1 = rng1.standard_normal((1, 3, H, W), np.float32)
+    masks = (rng1.random((1, 2, H, W)) > 0.7).astype(np.float32)
+    h16 = rng1.standard_normal((1, 2, 64, H // 16, W // 16), np.float32) * 0.3
+    readout = rng1.standard_normal((1, 2, H // 16, W // 16, 512),
+                                   np.float32) * 0.2
+    with torch.no_grad():
+        key, sh, sel, f16, f8, f4 = oracle.encode_key(torch.from_numpy(frame0))
+        k1 = oracle.encode_key(torch.from_numpy(frame1))
+        v, h = oracle.encode_value(torch.from_numpy(frame1), k1[3],
+                                   torch.from_numpy(h16),
+                                   torch.from_numpy(masks))
+        hid, logits, prob = oracle.segment(
+            k1[3], k1[4], k1[5],
+            torch.from_numpy(np.moveaxis(readout, -1, -3)),
+            torch.from_numpy(h16))
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "xmem_io.npz"),
+        sd_checksum=xmem_sd_checksum(oracle),
+        frame0=frame0, frame1=frame1, masks=masks, h16=h16, readout=readout,
+        key=key.numpy(), shrinkage=sh.numpy(), selection=sel.numpy(),
+        f16=f16.numpy(), f8=f8.numpy(), f4=f4.numpy(),
+        value=v.numpy(), hidden=h.numpy(),
+        seg_hidden=hid.numpy(), seg_prob=prob.numpy(),
+    )
+
+
+def clip_oracles():
+    """transformers CLIP text+vision at the flax .tiny() configs, fixed
+    torch seeds (same construction as test_clip_parity)."""
+    import transformers
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from this_and_that_vdm_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+
+    tc, vc = CLIPTextConfig.tiny(), CLIPVisionConfig.tiny()
+    torch.manual_seed(0)
+    text = transformers.CLIPTextModel(transformers.CLIPTextConfig(
+        vocab_size=tc.vocab_size, hidden_size=tc.hidden_size,
+        num_hidden_layers=tc.num_layers, num_attention_heads=tc.num_heads,
+        intermediate_size=tc.intermediate_size,
+        max_position_embeddings=tc.max_positions, hidden_act="gelu")).eval()
+    torch.manual_seed(1)
+    vision = transformers.CLIPVisionModelWithProjection(
+        transformers.CLIPVisionConfig(
+            hidden_size=vc.hidden_size, num_hidden_layers=vc.num_layers,
+            num_attention_heads=vc.num_heads,
+            intermediate_size=vc.intermediate_size, patch_size=vc.patch_size,
+            image_size=vc.image_size, projection_dim=vc.projection_dim,
+            hidden_act="gelu")).eval()
+    return text, vision
+
+
+def make_clip():
+    text, vision = clip_oracles()
+    ids = np.array([[3, 7, 1, 0, 5, 9, 2, 4, 8, 6, 1, 1, 1, 1, 1, 1]], np.int64)
+    px = np.random.RandomState(0).randn(
+        2, 3, vision.config.image_size, vision.config.image_size
+    ).astype(np.float32)
+    with torch.no_grad():
+        t_out = text(torch.tensor(ids)).last_hidden_state.numpy()
+        v_out = vision(torch.tensor(px)).image_embeds.numpy()
+    sd = {}
+    for prefix, m in (("text.", text), ("vision.", vision)):
+        for k, v in m.state_dict().items():
+            if not k.endswith("position_ids"):
+                sd[f"sd.{prefix}{k}"] = v.numpy()
+    np.savez_compressed(
+        os.path.join(GOLDEN_DIR, "clip_tiny.npz"),
+        ids=ids, px=px, text_out=t_out, vision_out=v_out, **sd,
+    )
+
+
 if __name__ == "__main__":
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     make_unet()
     make_controlnet()
     make_vae()
     make_pipeline_self()
+    make_sam()
+    make_yolo()
+    make_raft()
+    make_xmem()
+    make_clip()
     sizes = {f: os.path.getsize(os.path.join(GOLDEN_DIR, f)) // 1024
              for f in sorted(os.listdir(GOLDEN_DIR))}
     print("goldens written:", sizes, "KiB")

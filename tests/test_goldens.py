@@ -104,6 +104,171 @@ def test_flax_vae_matches_golden():
     assert np.allclose(dec, g["dec"], atol=5e-5), np.abs(dec - g["dec"]).max()
 
 
+# -------------------------------------------- perception goldens (round 3)
+# VERDICT r2 next #5: the SAM/YOLO/RAFT/XMem/CLIP oracles get the same
+# golden treatment as the SVD trio — (a) oracle code-drift tripwire from
+# pinned weights, (b) torch-free flax parity through weights/convert.py.
+# XMem is the exception (62M-param fixed-size oracle, state dict too large
+# to pin): its golden pins seeds + a state-dict checksum + IO, so it is a
+# drift tripwire only; flax parity stays in test_xmem.py (torch in loop).
+
+
+def test_oracle_reproduces_sam_golden():
+    import torch
+    import sam_oracle
+    from make_goldens import sam_oracle_cfg
+
+    g = _load("sam_tiny.npz")
+    oracle = sam_oracle.Sam(sam_oracle_cfg()).eval()
+    oracle.load_state_dict({k[3:]: torch.from_numpy(g[k])
+                            for k in g.files if k.startswith("sd.")})
+    with torch.no_grad():
+        masks, iou = oracle(
+            torch.from_numpy(g["img"].transpose(0, 3, 1, 2)),
+            torch.from_numpy(g["points"]), torch.from_numpy(g["labels"]))
+    np.testing.assert_allclose(masks.numpy(), g["masks"], atol=1e-6)
+    np.testing.assert_allclose(iou.numpy(), g["iou"], atol=1e-6)
+
+
+def test_flax_sam_matches_golden():
+    from this_and_that_vdm_tpu.models.sam import Sam, SamConfig
+    from this_and_that_vdm_tpu.weights.convert import sam_state_dict_to_flax
+
+    g = _load("sam_tiny.npz")
+    params = sam_state_dict_to_flax(_state(g))
+    masks, iou = Sam(SamConfig.tiny()).apply(
+        params, jnp.asarray(g["img"]), jnp.asarray(g["points"]),
+        jnp.asarray(g["labels"]))
+    np.testing.assert_allclose(np.asarray(masks), g["masks"], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(iou), g["iou"], atol=2e-4)
+
+
+def test_oracle_reproduces_yolo_golden():
+    import torch
+    import yolo_oracle
+    from this_and_that_vdm_tpu.models.yolov8 import YOLOv8Config
+
+    g = _load("yolo_tiny.npz")
+    oracle = yolo_oracle.DetectionModel(YOLOv8Config.tiny(nc=2)).eval()
+    oracle.load_state_dict({k[3:]: torch.from_numpy(g[k])
+                            for k in g.files if k.startswith("sd.")})
+    with torch.no_grad():
+        pred = oracle(torch.from_numpy(g["img"].transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(pred.numpy(), g["pred"], atol=1e-6)
+
+
+def test_flax_yolo_matches_golden():
+    from this_and_that_vdm_tpu.models.yolov8 import YOLOv8, YOLOv8Config
+    from this_and_that_vdm_tpu.weights.convert import yolo_state_dict_to_flax
+
+    g = _load("yolo_tiny.npz")
+    params = yolo_state_dict_to_flax(_state(g))
+    pred = YOLOv8(YOLOv8Config.tiny(nc=2)).apply(params, jnp.asarray(g["img"]))
+    np.testing.assert_allclose(
+        np.asarray(pred), g["pred"].transpose(0, 2, 1), atol=5e-4)
+
+
+def test_oracle_reproduces_raft_golden():
+    import torch
+    import raft_oracle
+    from this_and_that_vdm_tpu.models.raft import RAFTConfig
+
+    g = _load("raft_tiny.npz")
+    oracle = raft_oracle.RAFT(RAFTConfig.tiny()).eval()
+    oracle.load_state_dict({k[3:]: torch.from_numpy(g[k])
+                            for k in g.files if k.startswith("sd.")})
+    with torch.no_grad():
+        f_low, f_up = oracle(
+            torch.from_numpy(g["i1"]).permute(0, 3, 1, 2),
+            torch.from_numpy(g["i2"]).permute(0, 3, 1, 2),
+            iters=int(g["iters"]))
+    np.testing.assert_allclose(f_low.numpy(), g["flow_low"], atol=1e-6)
+    np.testing.assert_allclose(f_up.numpy(), g["flow_up"], atol=1e-6)
+
+
+def test_flax_raft_matches_golden():
+    from this_and_that_vdm_tpu.models.raft import RAFT, RAFTConfig, raft_forward
+    from this_and_that_vdm_tpu.weights.convert import raft_state_dict_to_flax
+
+    g = _load("raft_tiny.npz")
+    params = raft_state_dict_to_flax(
+        {"module." + k: v for k, v in _state(g).items()})
+    f_low, f_up = raft_forward(RAFT(RAFTConfig.tiny()), params,
+                               jnp.asarray(g["i1"]), jnp.asarray(g["i2"]),
+                               iters=int(g["iters"]))
+    np.testing.assert_allclose(
+        np.asarray(f_low), g["flow_low"].transpose(0, 2, 3, 1), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(f_up), g["flow_up"].transpose(0, 2, 3, 1), atol=2e-4)
+
+
+def test_oracle_reproduces_xmem_io_golden():
+    """XMem drift tripwire: the seed-derived oracle (weights too large to
+    pin) must still produce the pinned checksum AND the pinned outputs."""
+    import torch
+    from make_goldens import build_xmem_oracle, xmem_sd_checksum
+
+    g = _load("xmem_io.npz")
+    oracle = build_xmem_oracle()
+    np.testing.assert_allclose(xmem_sd_checksum(oracle), g["sd_checksum"],
+                               rtol=1e-12)
+    with torch.no_grad():
+        key, sh, sel, f16, f8, f4 = oracle.encode_key(
+            torch.from_numpy(g["frame0"]))
+        k1 = oracle.encode_key(torch.from_numpy(g["frame1"]))
+        v, h = oracle.encode_value(
+            torch.from_numpy(g["frame1"]), k1[3],
+            torch.from_numpy(g["h16"]), torch.from_numpy(g["masks"]))
+        hid, _logits, prob = oracle.segment(
+            k1[3], k1[4], k1[5],
+            torch.from_numpy(np.moveaxis(g["readout"], -1, -3)),
+            torch.from_numpy(g["h16"]))
+    for got, name in [(key, "key"), (sh, "shrinkage"), (sel, "selection"),
+                      (f16, "f16"), (f8, "f8"), (f4, "f4"), (v, "value"),
+                      (h, "hidden"), (hid, "seg_hidden"), (prob, "seg_prob")]:
+        np.testing.assert_allclose(got.numpy(), g[name], atol=1e-5,
+                                   err_msg=name)
+
+
+def test_oracle_reproduces_clip_golden():
+    import torch
+    from make_goldens import clip_oracles
+
+    g = _load("clip_tiny.npz")
+    text, vision = clip_oracles()
+    # seeding must reproduce the pinned weights exactly (same torch build)
+    for prefix, m in (("text.", text), ("vision.", vision)):
+        for k, v in m.state_dict().items():
+            if not k.endswith("position_ids"):
+                np.testing.assert_array_equal(
+                    v.numpy(), g["sd." + prefix + k], err_msg=k)
+    with torch.no_grad():
+        t_out = text(torch.tensor(g["ids"])).last_hidden_state.numpy()
+        v_out = vision(torch.tensor(g["px"])).image_embeds.numpy()
+    np.testing.assert_allclose(t_out, g["text_out"], atol=1e-6)
+    np.testing.assert_allclose(v_out, g["vision_out"], atol=1e-6)
+
+
+def test_flax_clip_matches_golden():
+    from this_and_that_vdm_tpu.models.clip import (
+        CLIPTextModel, CLIPTextConfig, CLIPVisionModelWithProjection,
+        CLIPVisionConfig)
+    from this_and_that_vdm_tpu.weights.convert import clip_state_dict_to_flax
+
+    g = _load("clip_tiny.npz")
+    sd = _state(g)
+    t_sd = {k[len("text."):]: v for k, v in sd.items() if k.startswith("text.")}
+    v_sd = {k[len("vision."):]: v for k, v in sd.items()
+            if k.startswith("vision.")}
+    t_out = CLIPTextModel(CLIPTextConfig.tiny()).apply(
+        clip_state_dict_to_flax(t_sd), jnp.asarray(g["ids"]))
+    v_out = CLIPVisionModelWithProjection(CLIPVisionConfig.tiny()).apply(
+        clip_state_dict_to_flax(v_sd),
+        jnp.asarray(g["px"].transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(t_out), g["text_out"], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(v_out), g["vision_out"], atol=2e-5)
+
+
 def test_flax_pipeline_matches_self_golden():
     """End-to-end VL generation pinned against the repo's OWN output
     (self-golden, not oracle parity — the module goldens above anchor
