@@ -11,9 +11,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 (BASELINE.md), so the driver's north-star is the comparison point.
 
 Env knobs: BENCH_STEPS (default 25), BENCH_MODE=vgl|vl|unet|train|train_vgl|
-sam|yolo|raft (default vgl), BENCH_DTYPE=bf16|f32, BENCH_BAKE=1|0 (serving weight
-baking), BENCH_CURVE=N (train modes: N extra fixed-batch steps with random
+sam|yolo|raft|serving (default vgl), BENCH_DTYPE=bf16|f32, BENCH_BAKE=1|0 (serving
+weight baking), BENCH_CURVE=N (train modes: N extra fixed-batch steps with random
 init, per-step loss readback — the on-chip learning-sanity artifact).
+
+``serving``: the resident VideoGenServer micro-batcher over the baked VGL
+pipeline on the real chip — single-request latency + 4-concurrent
+throughput (VERDICT r2 weak #7: the serving layer had never touched
+hardware; the reference's analog rebuilds models per request, app.py).
 
 ``train`` / ``train_vgl``: full-size EDM train step (frozen VAE+CLIP encodes,
 noising + conditioning dropout, fwd+bwd with per-block remat, 8-bit Adam
@@ -305,6 +310,70 @@ def bench_perception(mode: str):
     }))
 
 
+def bench_serving(pipe, F, H, W, steps):
+    """VideoGenServer on the real chip (VERDICT r2 weak #7): single-request
+    latency and 4-concurrent throughput through the resident micro-batcher
+    over the baked VGL pipeline.  The 4-concurrent case forms ONE batch-4
+    pipeline invocation (same bucket), so the number measures how much of
+    the per-clip cost is batch-amortisable on one chip — the measurable
+    half of PERF.md's "N clip-chips serve N requests" model.  Reference
+    analog: app.py:188-271 rebuilds every model per request."""
+    import numpy as np
+
+    from this_and_that_vdm_tpu.serving import VideoGenServer
+
+    rng = np.random.RandomState(0)
+    image = (rng.rand(H, W, 3) * 2 - 1).astype(np.float32)
+    cond = rng.rand(F, H, W, 3).astype(np.float32)
+    ids = np.zeros((77,), np.int64)
+
+    server = VideoGenServer(
+        pipe, max_batch=4,
+        num_frames=F, num_inference_steps=steps, motion_bucket_id=200,
+        noise_aug_strength=0.0, decode_chunk_size=8, output_type="uint8")
+
+    def one(seed):
+        return server.submit(image, condition=cond, prompt_ids=ids, seed=seed)
+
+    # warm/compile both programs (clip-batch 1 and 4)
+    assert one(0).result().shape == (F, H, W, 3)
+    for f in [one(i) for i in range(1, 5)]:
+        f.result()
+
+    n = int(os.environ.get("BENCH_REPEATS", 5))
+    lat, thr = [], []
+    for i in range(n):
+        t0 = time.perf_counter()
+        one(100 + i).result()  # .result() returns host numpy: sound wall
+        lat.append(time.perf_counter() - t0)
+    for i in range(n):
+        t0 = time.perf_counter()
+        futs = [one(200 + 4 * i + j) for j in range(4)]
+        for f in futs:
+            f.result()
+        thr.append((time.perf_counter() - t0) / 4)
+    server.close()
+
+    def med(v):
+        v = sorted(v)
+        m = len(v) // 2
+        return v[m] if len(v) % 2 else (v[m - 1] + v[m]) / 2
+
+    print(json.dumps({
+        "metric": f"VideoGenServer single-request latency, VGL {F}f {H}x{W} "
+                  f"@{steps} steps (1 chip, bf16, baked)",
+        "value": round(med(lat), 3), "unit": "s/request",
+        "vs_baseline": round(10.0 / med(lat), 3),
+        "basis": "1 chip measured vs v5e-8 north-star (<10 s/clip); "
+                 "includes the micro-batcher's max_delay_s=0.05 wait",
+        "repeats": n,
+        "latency_s": [round(x, 3) for x in lat],
+        "concurrent4_s_per_clip": [round(x, 3) for x in thr],
+        "concurrent4_median_s_per_clip": round(med(thr), 3),
+        "batch_amortisation": round(med(lat) / med(thr), 3),
+    }))
+
+
 def main():
     from this_and_that_vdm_tpu.models.unet import (
         UNetSpatioTemporalConditionModel, UNetConfig,
@@ -420,6 +489,8 @@ def main():
         pipe = StableVideoDiffusionControlNetPipeline(
             controlnet=cn, controlnet_params=cnparams, **kwargs
         )
+        if mode == "serving":
+            return bench_serving(pipe, F, H, W, steps)
         cond = jnp.ones((F, H, W, 3), jnp.float32)
         run = lambda: pipe(image, cond, **call_kwargs)
 

@@ -70,6 +70,11 @@ def vl_step_memory_analysis(fsdp: int, n_devices: int = 8,
         from ..ops import attention as _attention
 
         _attention.set_backend("xla")
+        # same constraint for the fused 8-bit Adam update (default "auto"
+        # since the +10.4% A/B): its custom_partitioning cannot be emitted
+        # under topology-AOT either; the jnp path is HBM-identical (the
+        # kernel saves launches, not bytes)
+        os.environ["TTV_ADAM_KERNEL"] = "0"
 
     from ..models.unet import UNetSpatioTemporalConditionModel, UNetConfig
     from ..models.vae import AutoencoderKLTemporalDecoder, VAEConfig

@@ -120,7 +120,10 @@ def scale_by_adam8bit(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
     kernel launch per leaf instead of ~6-8 XLA fusions; the launch-overhead
     fix for the ~500-leaf trees (PERF.md "8-bit Adam kernel study").
     ``True`` forces it (interpret mode off-TPU, tests only), ``False``
-    (the default until the kernel is timed on a real chip) disables it."""
+    disables it.  The trainer defaults to "auto" since the real-chip A/B
+    measured +10.4% full-VGL-step throughput (2.303 vs 2.087 steps/s,
+    perf_r3/train_vgl_adamkernel.json); this low-level default stays False
+    so direct callers opt in explicitly."""
 
     def init(params):
         zeros = jax.tree.map(

@@ -73,10 +73,12 @@ def make_optimizer(cfg: TrainConfig, params=None) -> optax.GradientTransformatio
 
         from .optimizers import adamw8bit
 
-        # TTV_ADAM_KERNEL=1 -> fused single-pass Pallas update per leaf
-        # (ops/adam8bit_pallas.py); numerics identical, opt-in until timed
-        # on a real chip (bench: TTV_ADAM_KERNEL=1 BENCH_MODE=train_vgl)
-        kernel = "auto" if os.environ.get("TTV_ADAM_KERNEL") == "1" else False
+        # Fused single-pass Pallas update per leaf (ops/adam8bit_pallas.py);
+        # numerics identical to the jnp path.  Default ON since the real-chip
+        # A/B: 2.303 vs 2.087 steps/s full VGL train step (+10.4%,
+        # perf_r3/train_vgl_adamkernel.json).  "auto" engages only where
+        # supported (TPU, big-enough leaves); TTV_ADAM_KERNEL=0 opts out.
+        kernel = False if os.environ.get("TTV_ADAM_KERNEL") == "0" else "auto"
         tx = adamw8bit(
             schedule, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon, weight_decay=cfg.adam_weight_decay,
