@@ -79,6 +79,19 @@ def distributed_init(coordinator: Optional[str] = None,
         kwargs["process_id"] = int(
             process_id if process_id is not None else os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(**kwargs)
+    # Force cross-process collective-context creation NOW, while every
+    # process is aligned at the same line (all just returned from
+    # initialize's rendezvous).  Without this, the context is lazily built
+    # at the FIRST real collective — which on the CPU/gloo backend carries a
+    # hard 30 s key-exchange deadline, so any >30 s inter-process skew
+    # before that point (uneven tracing/compile load; observed on the
+    # 1-core CI host under a concurrent compile) kills the job with
+    # "Gloo context initialization failed: DEADLINE_EXCEEDED".  The barrier
+    # costs one tiny allgather and makes later collectives reuse the
+    # established context.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ttv distributed_init")
     return True
 
 
