@@ -134,6 +134,17 @@ def test_prefetch_loader_reshuffles_per_epoch_and_is_deterministic():
     assert _batch_order(loader1w) == epoch0
 
 
+def test_prefetch_loader_raises_when_ranks_starve():
+    """Regression (ADVICE r3): fewer full batches than world ranks would
+    leave every rank zero batches and spin train_loop's epoch-for forever;
+    must raise instead."""
+    ds = _IndexDataset(3)
+    loader = bridge.PrefetchLoader(ds, batch_size=2, num_workers=1,
+                                   seed=0, shard=(0, 4))
+    with pytest.raises(ValueError, match="zero batches"):
+        next(iter(loader))
+
+
 def _mk_instances(root, n_inst=6, asym=True):
     for k in range(n_inst):
         d = root / f"{k:06d}"

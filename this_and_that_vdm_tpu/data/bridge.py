@@ -320,6 +320,13 @@ class PrefetchLoader:
         rank, world = self.shard
         if world > 1:
             batches = batches[: len(batches) - len(batches) % world][rank::world]
+            if not batches:
+                # train_loop's `while step < num_iters: for batch in loader`
+                # would otherwise spin forever on an empty epoch
+                raise ValueError(
+                    f"dataset yields {len(order) // self.batch_size} full "
+                    f"batches, fewer than world={world}: every rank would "
+                    "get zero batches (grow the dataset or shrink the batch)")
         it = iter(enumerate(batches))
         lock = threading.Lock()
         SENTINEL = object()

@@ -180,6 +180,18 @@ def global_batch(batch: Any, mesh: Mesh) -> Any:
     if nproc == 1:
         return jax.device_put(batch, shard_batch(batch, mesh))
 
+    # every non-scalar leaf is treated as a per-process batch shard below;
+    # a replicated non-scalar (shared constant vector) would be silently
+    # concatenated into wrong global data, so insist the tree really is
+    # batch-collated: all non-scalar leaves share the same leading dim
+    lead = {np.asarray(l).shape[0] for l in jax.tree.leaves(batch)
+            if np.asarray(l).ndim > 0}
+    if len(lead) > 1:
+        raise ValueError(
+            "global_batch expects a batch-collated tree (every non-scalar "
+            f"leaf shares one leading batch dim); got leading dims {sorted(lead)}. "
+            "Replicated non-scalar leaves must be passed outside the batch.")
+
     def put(x):
         x = np.asarray(x)
         if x.ndim == 0:

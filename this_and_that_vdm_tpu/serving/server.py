@@ -22,7 +22,9 @@ resident baked pipeline serves concurrent requests:
 
 Usage::
 
-    server = VideoGenServer(pipe, mesh=make_serving_mesh(cfg=2), max_batch=4)
+    server = VideoGenServer(pipe, mesh=make_serving_mesh(cfg=2))  # max_batch
+    # defaults to the mesh's clip-axis size (1 on a single chip — PERF.md
+    # measures single-chip batching net-negative)
     fut = server.submit(image, condition=raster, prompt_ids=ids, seed=7)
     frames = fut.result()          # [F, H, W, 3] float in [0, 1]
     server.close()
@@ -58,15 +60,20 @@ class VideoGenServer:
     ``pipe``: a ``StableVideoDiffusionPipeline`` or
     ``StableVideoDiffusionControlNetPipeline``.  ``mesh``: optional serving
     mesh (``make_serving_mesh``/``make_mesh``) — the pipeline is placed on
-    it once at construction.  ``max_batch``: clip-batch cap per invocation
-    (on a mesh, use a multiple of the ``clip`` axis).  ``max_delay_s``: how
-    long the batcher waits for same-bucket followers once a request is in
-    hand — the classic latency/throughput knob.
+    it once at construction.  ``max_batch``: clip-batch cap per invocation.
+    Default (None) = the mesh's ``clip``-axis size, i.e. one clip per
+    clip-chip — 1 on a single chip, where batching is measured net-negative
+    (PERF.md "Concurrent serving": amortisation 0.91, batch-of-4 slower per
+    clip than serial).  Pass a multiple of the clip axis to oversubscribe.
+    ``max_delay_s``: how long the batcher waits for same-bucket followers
+    once a request is in hand — the classic latency/throughput knob.
     """
 
-    def __init__(self, pipe, mesh=None, max_batch: int = 4,
+    def __init__(self, pipe, mesh=None, max_batch: Optional[int] = None,
                  max_delay_s: float = 0.05, **default_sampling):
         self.pipe = pipe.place_on_mesh(mesh) if mesh is not None else pipe
+        if max_batch is None:
+            max_batch = (mesh.shape.get("clip", 1) if mesh is not None else 1)
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_s)
         self.default_sampling = default_sampling

@@ -223,7 +223,11 @@ def main(argv: Optional[list] = None):
     # batch (reference: accelerate's sharded DataLoader, train_svd.py:480);
     # global_batch() assembles the cross-process array at feed time
     global_bs = int(cfg.get("train_batch_size", 1)) * mesh.devices.size
-    assert global_bs % jax.process_count() == 0, (global_bs, jax.process_count())
+    if global_bs % jax.process_count():
+        # not an assert: under `python -O` that would silently floor-divide
+        raise ValueError(
+            f"global batch {global_bs} not divisible by "
+            f"{jax.process_count()} processes")
     batch_size = global_bs // jax.process_count()
     num_iters = args.max_steps or int(cfg.get("num_train_iters", 100_000))
 
