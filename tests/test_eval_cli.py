@@ -79,3 +79,92 @@ def test_single_instance_roots(tmp_path):
     _write_instance(b, ".", fr)
     rep = eval_cli.evaluate_trees(a, b, psnr_gate=35.0)
     assert rep["n_instances"] == 1 and rep["gate_pass"]
+
+
+# ---------------------------------------------------------------------------
+# LPIPS load-and-go (VERDICT r3 weak #6): the day the published LPIPS
+# checkpoints arrive, `--lpips-weights one_file.pth` must work with no code
+# changes.  These tests drive cli/eval.py's actual torch.load path with a
+# synthetic checkpoint in BOTH accepted layouts, plus a pinned converter
+# golden so a converter regression is caught without torch weights.
+# ---------------------------------------------------------------------------
+
+def _synthetic_lpips_states(seed=0):
+    import torch
+
+    torch.manual_seed(seed)
+    convs = [(3, 64, 11), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+             (256, 256, 3)]
+    idx = [0, 3, 6, 8, 10]  # torchvision alexnet.features conv indices
+    alex = {}
+    for (cin, cout, k), i in zip(convs, idx):
+        alex[f"features.{i}.weight"] = torch.randn(cout, cin, k, k) * 0.05
+        alex[f"features.{i}.bias"] = torch.zeros(cout)
+    lin = {f"lin{j}.model.1.weight": torch.rand(1, c, 1, 1) * 0.1
+           for j, c in enumerate([64, 192, 384, 256, 256])}
+    return alex, lin
+
+
+@pytest.mark.parametrize("layout", ["nested", "flat"])
+def test_lpips_weights_single_file_load_and_go(tmp_path, layout):
+    import torch
+
+    alex, lin = _synthetic_lpips_states()
+    blob = ({"alexnet": alex, "lin": lin} if layout == "nested"
+            else {**alex, **lin})
+    path = str(tmp_path / "lpips.pth")
+    torch.save(blob, path)
+
+    lp = eval_cli._load_lpips(None, None, combined_path=path)
+    assert lp is not None
+    fa = _frames(1, n=2, h=35, w=35)
+    fb = _frames(2, n=2, h=35, w=35)
+    assert lp(fa, fa) < 1e-6           # identity
+    assert lp(fa, fb) > 0.0            # discriminates
+    # both layouts load the SAME weights -> same score
+    lp2 = eval_cli._load_lpips(None, None, combined_path=path)
+    assert abs(lp(fa, fb) - lp2(fa, fb)) < 1e-7
+
+
+def test_lpips_report_includes_metric(tmp_path):
+    import torch
+
+    alex, lin = _synthetic_lpips_states()
+    path = str(tmp_path / "lpips.pth")
+    torch.save({"alexnet": alex, "lin": lin}, path)
+
+    fr = _frames(3, h=35, w=35)  # >= alexnet's minimum spatial extent
+    _write_instance(str(tmp_path / "a"), "inst", fr)
+    _write_instance(str(tmp_path / "b"), "inst", fr)
+    out = str(tmp_path / "report.json")
+    rc = 0
+    try:
+        eval_cli.main([str(tmp_path / "a"), str(tmp_path / "b"),
+                       "--lpips-weights", path, "--out", out])
+    except SystemExit as e:
+        rc = int(e.code or 0)
+    assert rc == 0
+    rep = json.load(open(out))
+    inst = rep["instances"]["inst"]
+    assert "lpips_mean" in inst and inst["lpips_mean"] < 1e-6
+
+
+def test_lpips_converter_golden(tmp_path):
+    """Pinned converter output on a seeded synthetic checkpoint + fixed
+    input: catches a silent converter regression (axis order, key mapping,
+    normalisation) with no torch weights in the environment."""
+    from this_and_that_vdm_tpu.utils import lpips as lpips_mod
+
+    alex, lin = _synthetic_lpips_states(seed=0)
+    to_np = lambda sd: {k: np.asarray(v) for k, v in sd.items()}
+    params = lpips_mod.lpips_params_from_torch(to_np(alex), to_np(lin))
+
+    rng = np.random.RandomState(0)
+    a = rng.uniform(0, 255, (2, 35, 35, 3)).astype(np.uint8)
+    b = rng.uniform(0, 255, (2, 35, 35, 3)).astype(np.uint8)
+    v = lpips_mod.video_lpips(params, a, b)
+    # golden pinned 2026-08-19 (CPU, fp32); converter changes move this
+    assert abs(v - GOLDEN_LPIPS) < 2e-4, v
+
+
+GOLDEN_LPIPS = 0.1026016  # video_lpips, seed-0 synthetic ckpt
