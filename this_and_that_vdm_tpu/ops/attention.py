@@ -25,8 +25,12 @@ _BACKEND = os.environ.get("TTV_ATTENTION_BACKEND", "auto")
 
 
 def set_backend(name: str) -> None:
+    """``pallas_shardmap``: the flash kernel staged through shard_map instead
+    of custom_partitioning — the topology-AOT path (cli/aot_memory.py), where
+    the compile-only backend cannot emit the partitioning callback.  Requires
+    flash_attention.set_shardmap(mesh, batch_axes) first."""
     global _BACKEND
-    assert name in ("auto", "xla", "pallas")
+    assert name in ("auto", "xla", "pallas", "pallas_shardmap")
     _BACKEND = name
 
 
@@ -48,7 +52,12 @@ def dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    if _BACKEND in ("auto", "pallas"):
+    if _BACKEND == "pallas_shardmap":
+        from .flash_attention import flash_attention_shardmap, shardmap_supports
+
+        if shardmap_supports(q, k, v):
+            return flash_attention_shardmap(q, k, v, scale=scale)
+    elif _BACKEND in ("auto", "pallas"):
         from .flash_attention import flash_attention, supports
 
         # "pallas" is a preference, not a guarantee: unsupported shapes

@@ -80,7 +80,24 @@ def train_config_from_yaml(cfg: dict, mode: str) -> trainer.TrainConfig:
         partial_finetune=bool(cfg.get("partial_finetune", False)),
         use_text=bool(cfg.get("use_text", True)),
         gradient_accumulation_steps=int(cfg.get("gradient_accumulation_steps", 1)),
+        # reference pins this True in both YAMLs ("Need this to save more
+        # memory", config/train_image2video.yaml:67) — the fsdp memory story
+        # (PERF.md) is measured against this, the shipped layout
+        use_8bit_adam=bool(cfg.get("use_8bit_adam", False)),
     )
+
+
+def frozen_dtype_from_yaml(cfg: dict):
+    """``mixed_precision`` -> frozen-tower dtype (train_svd.py:428-440).
+
+    The reference casts every FROZEN module to fp16 (vae/image_encoder/
+    text_encoder; train_csvd additionally the frozen UNet:448) while the
+    trainable model stays fp32.  TPU-native mapping: fp16 -> bf16 (same
+    byte width, no loss-scaler needed on TPU)."""
+    mp = str(cfg.get("mixed_precision", "no")).lower()
+    if mp in ("fp16", "float16", "bf16", "bfloat16"):
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def data_config_from_yaml(cfg: dict) -> bridge.DataConfig:
@@ -129,7 +146,12 @@ class SyntheticDataset:
 
 
 def build_models(cfg: dict, mode: str, dtype=jnp.float32, tiny: bool = False,
-                 nano: bool = False):
+                 nano: bool = False, frozen_dtype=None):
+    """``frozen_dtype``: compute/weight dtype for the FROZEN modules only —
+    vae/image_encoder/text_encoder, plus the UNet in VGL mode where it is
+    frozen too (reference mixed_precision, train_svd.py:436-440 /
+    train_csvd.py:447-449).  The trainable model always stays ``dtype``."""
+    frozen_dtype = dtype if frozen_dtype is None else frozen_dtype
     if tiny or nano:
         if nano:  # 2-block topology: fastest CPU compile for smoke tests
             unet_cfg, cn_cfg = UNetConfig.nano(), ControlNetConfig.nano()
@@ -155,11 +177,12 @@ def build_models(cfg: dict, mode: str, dtype=jnp.float32, tiny: bool = False,
         vae_cfg, vis_cfg, txt_cfg = VAEConfig(), CLIPVisionConfig(), CLIPTextConfig()
 
     modules = dict(
-        vae=AutoencoderKLTemporalDecoder(vae_cfg, dtype=dtype),
-        image_encoder=CLIPVisionModelWithProjection(vis_cfg, dtype=dtype),
-        text_encoder=CLIPTextModel(txt_cfg, dtype=dtype),
+        vae=AutoencoderKLTemporalDecoder(vae_cfg, dtype=frozen_dtype),
+        image_encoder=CLIPVisionModelWithProjection(vis_cfg, dtype=frozen_dtype),
+        text_encoder=CLIPTextModel(txt_cfg, dtype=frozen_dtype),
     )
-    unet = UNetSpatioTemporalConditionModel(unet_cfg, dtype=dtype)
+    unet = UNetSpatioTemporalConditionModel(
+        unet_cfg, dtype=frozen_dtype if mode == "vgl" else dtype)
     controlnet = ControlNetModel(cn_cfg, dtype=dtype) if mode == "vgl" else None
     return unet, controlnet, modules
 
@@ -231,8 +254,9 @@ def main(argv: Optional[list] = None):
     batch_size = global_bs // jax.process_count()
     num_iters = args.max_steps or int(cfg.get("num_train_iters", 100_000))
 
+    fdtype = frozen_dtype_from_yaml(cfg)
     unet, controlnet, modules = build_models(
-        cfg, args.mode, tiny=args.tiny, nano=args.nano)
+        cfg, args.mode, tiny=args.tiny, nano=args.nano, frozen_dtype=fdtype)
     F, H, W = dcfg.video_seq_length, dcfg.height, dcfg.width
     ctx_dim = unet.config.cross_attention_dim
     seq = 78 if tcfg.use_text else 1
@@ -300,6 +324,15 @@ def main(argv: Optional[list] = None):
         num_workers=int(cfg.get("dataloader_num_workers", 4)), seed=seed,
         shard=(jax.process_index(), jax.process_count()),
     )
+
+    # frozen weights at the mixed_precision dtype (reference .to(fp16),
+    # train_svd.py:436-440; in VGL this includes the frozen UNet, :448) —
+    # halves the replicated frozen-tower HBM; the trainable state stays fp32
+    if fdtype != jnp.float32:
+        frozen = jax.tree.map(
+            lambda x: x.astype(fdtype)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            frozen)
 
     # shard
     state = jax.device_put(state, shard_params(state, mesh))
