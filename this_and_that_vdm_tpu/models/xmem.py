@@ -501,11 +501,18 @@ class XMem(nn.Module):
         return jnp.einsum("bpn,bonc->bopc", affinity, memory_value)
 
     def segment(self, f16, f8, f4, memory_readout_g, hidden_state,
-                h_out: bool = True, strip_bg: bool = True):
-        """memory_readout_g [B,N,h,w,CV] -> (hidden, logits, prob)."""
+                h_out: bool = True, strip_bg: bool = True, selector=None):
+        """memory_readout_g [B,N,h,w,CV] -> (hidden, logits, prob).
+
+        ``selector`` [B,N] or [B,N,1,1]: live-object mask applied to the
+        per-object probabilities before aggregation (training-time path,
+        network.py:112-113 — dead channels must not steal probability
+        from the background)."""
         hidden_state, logits = self.decoder(f16, f8, f4, hidden_state,
                                             memory_readout_g, h_out=h_out)
         prob = jax.nn.sigmoid(logits)
+        if selector is not None:
+            prob = prob * jnp.reshape(selector, selector.shape[:2] + (1, 1))
         logits, prob = aggregate(prob, axis=1, return_logits=True)
         if strip_bg:
             prob = prob[:, 1:]
