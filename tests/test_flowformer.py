@@ -1,0 +1,158 @@
+"""Native FlowFormer (models/flowformer.py) — architecture wiring, decoder
+recurrence, persistence, and the FlowFn-contract adapter.
+
+No published-weight oracle exists in-env (the reference repo does not vendor
+flowformer_code — scripts/generate_traj.py:20-26 makes the USER supply it —
+and egress is zero), so unlike RAFT these tests pin architecture semantics:
+config fidelity to config/flowformer_config.py, shape/wiring, that the
+recurrent decoder actually refines, gradient flow end-to-end (the training
+path works), and save/load round-trips."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from this_and_that_vdm_tpu.models import flowformer as ff
+
+TINY = ff.FlowFormerConfig.tiny()
+
+
+def _init(cfg, h=32, w=48, b=1, seed=0):
+    rng = np.random.RandomState(seed)
+    im1 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255.0)
+    im2 = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255.0)
+    model = ff.FlowFormer(cfg)
+    params = model.init(jax.random.PRNGKey(0), im1, im2)
+    return model, params, im1, im2
+
+
+def test_reference_config_fields():
+    """FlowFormerConfig.sintel() == config/flowformer_config.py values."""
+    cfg = ff.FlowFormerConfig.sintel()
+    assert cfg.encoder_latent_dim == 256     # .encoder_latent_dim
+    assert cfg.query_latent_dim == 64        # .query_latent_dim
+    assert cfg.cost_latent_input_dim == 64   # .cost_latent_input_dim
+    assert cfg.cost_latent_token_num == 8    # .cost_latent_token_num
+    assert cfg.cost_latent_dim == 128        # .cost_latent_dim
+    assert cfg.cost_heads_num == 1           # .cost_heads_num
+    assert cfg.encoder_depth == 3            # .encoder_depth
+    assert cfg.patch_size == 8               # .patch_size
+    assert cfg.decoder_depth == 12           # .decoder_depth
+
+
+def test_forward_shapes_and_finiteness():
+    model, params, im1, im2 = _init(TINY)
+    low, up = ff.flowformer_forward(model, params, im1, im2, iters=2)
+    assert low.shape == (1, 4, 6, 2)
+    assert up.shape == (1, 32, 48, 2)
+    assert np.isfinite(np.asarray(low)).all()
+    assert np.isfinite(np.asarray(up)).all()
+
+
+def test_decoder_actually_recurs():
+    """More iterations must change the estimate (shared-weight recurrence
+    is wired through the scan carry, not re-reading iteration 0 state)."""
+    model, params, im1, im2 = _init(TINY)
+    low1, _ = ff.flowformer_forward(model, params, im1, im2, iters=1)
+    low3, _ = ff.flowformer_forward(model, params, im1, im2, iters=3)
+    assert not np.allclose(np.asarray(low1), np.asarray(low3), atol=1e-6)
+
+
+def test_window_fold_roundtrip():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 13, 5).astype(np.float32))
+    t, ph, pw = ff._window_fold(x, 4)
+    assert t.shape == (2 * 3 * 4, 16, 5)
+    y = ff._window_unfold(t, 2, 10, 13, 4, ph, pw)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_encoder_output_resolution():
+    """Twins two-stage encoder = exactly 1/8 resolution at embed_dims[-1]."""
+    model = ff.TwinsEncoder(TINY)
+    x = jnp.zeros((1, 64, 96, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == (1, 8, 12, TINY.embed_dims[-1])
+
+
+def test_gradients_flow_to_all_parts():
+    """One EPE-against-constant-flow backward pass touches the encoders,
+    the cost memory encoder, the query decoder, and the update block —
+    the full finetune path is differentiable."""
+    model, params, im1, im2 = _init(TINY)
+
+    def loss(p):
+        low, _ = ff.flowformer_forward(model, p, im1, im2, iters=2)
+        return jnp.mean(jnp.square(low - 0.5))
+
+    grads = jax.grad(loss)(params)
+    for part in ("fnet", "cnet", "memory_encoder", "query_decoder",
+                 "update_block"):
+        leaves = jax.tree.leaves(grads["params"][part])
+        assert leaves, part
+        total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
+        assert np.isfinite(total) and total > 0.0, (part, total)
+
+
+@pytest.mark.slow
+def test_train_smoke_loss_decreases():
+    """A few Adam steps on a fixed pair reduce the flow-supervision loss."""
+    import optax
+
+    model, params, im1, im2 = _init(TINY)
+    tx = optax.adam(2e-4)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss(p):
+            low, _ = ff.flowformer_forward(model, p, im1, im2, iters=2)
+            return jnp.mean(jnp.square(low - 0.5))
+        l, g = jax.value_and_grad(loss)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    losses = []
+    for _ in range(5):
+        params, opt, l = step(params, opt)
+        losses.append(float(l))
+    assert losses[-1] < losses[0], losses
+
+
+def test_params_save_load_roundtrip(tmp_path):
+    model, params, im1, im2 = _init(TINY)
+    path = str(tmp_path / "ff.npz")
+    ff.flowformer_params_save(path, params)
+    loaded = ff.flowformer_params_load(path, TINY)
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(loaded)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    low0, _ = ff.flowformer_forward(model, params, im1, im2, iters=1)
+    low1, _ = ff.flowformer_forward(model, loaded, im1, im2, iters=1)
+    np.testing.assert_allclose(np.asarray(low0), np.asarray(low1))
+
+
+def test_native_flowformer_flow_contract(tmp_path):
+    """FlowFn contract on odd-sized uint8 frames: [H, W, 2] float out,
+    through the .npz load path."""
+    from this_and_that_vdm_tpu.curation.detectors import NativeFlowFormerFlow
+
+    model = ff.FlowFormer(TINY)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)))
+    path = str(tmp_path / "ff.npz")
+    ff.flowformer_params_save(path, params)
+
+    fn = NativeFlowFormerFlow(checkpoint=path, cfg=TINY, iters=2)
+    rng = np.random.RandomState(0)
+    a = (rng.rand(30, 45, 3) * 255).astype(np.uint8)
+    b = (rng.rand(30, 45, 3) * 255).astype(np.uint8)
+    flow = fn(a, b)
+    assert flow.shape == (30, 45, 2)
+    assert flow.dtype == np.float32
+    assert np.isfinite(flow).all()

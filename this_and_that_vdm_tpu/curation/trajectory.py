@@ -324,6 +324,10 @@ def main(argv=None):
     p.add_argument("--raft", default=None,
                    help="RAFT checkpoint (e.g. raft-things.pth) for the "
                         "native TPU flow network (models/raft.py)")
+    p.add_argument("--native-flowformer", default=None,
+                   help=".npz params for the native TPU FlowFormer "
+                        "(models/flowformer.py, flowformer_params_save "
+                        "format)")
     p.add_argument("--sam", default=None, help="segment-anything checkpoint")
     p.add_argument("--sam-type", default="vit_h")
     p.add_argument("--sam-backend", default="native",
@@ -338,6 +342,10 @@ def main(argv=None):
         from .detectors import NativeRAFTFlow
 
         flow_fn = NativeRAFTFlow(args.raft)
+    elif args.native_flowformer:
+        from .detectors import NativeFlowFormerFlow
+
+        flow_fn = NativeFlowFormerFlow(args.native_flowformer)
     elif args.flowformer:
         from .detectors import FlowFormerFlow
 
