@@ -557,8 +557,8 @@ def flowformer_params_load(path: str, cfg: FlowFormerConfig):
     with np.load(path) as z:
         data = dict(z)
 
-    def fill(path, leaf):
-        key = jax.tree_util.keystr(path)
+    def fill(keypath, leaf):
+        key = jax.tree_util.keystr(keypath)
         if key not in data:
             raise KeyError(f"missing param {key} in {path!r}")
         arr = jnp.asarray(data[key])
