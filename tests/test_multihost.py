@@ -77,7 +77,7 @@ def test_global_batch_rejects_mixed_leading_dims(monkeypatch):
         global_batch({"x": np.zeros((4, 3)), "bias": np.zeros(7)}, mesh)
 
 
-def _launch_workers(worker, extra_args, timeout):
+def _launch_workers(worker, extra_args, timeout, n=2):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
@@ -87,7 +87,7 @@ def _launch_workers(worker, extra_args, timeout):
         subprocess.Popen([sys.executable, worker, str(pid), port] + extra_args,
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env)
-        for pid in (0, 1)
+        for pid in range(n)
     ]
     return [p.communicate(timeout=timeout)[0] for p in procs], procs
 
@@ -118,3 +118,31 @@ def test_two_process_train_loop(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out[-5000:]}"
         assert f"TRAINLOOP_OK proc={pid}" in out, out[-5000:]
+
+
+@pytest.mark.slow
+def test_four_process_dcn_fsdp_resume(tmp_path):
+    """VERDICT r3 item 5: 4-process cluster on the 3-axis (dcn=2, dp=1,
+    fsdp=2) mesh — fsdp INSIDE each dcn slice — through the real train_loop:
+    phase 1 trains 0->2 and collectively checkpoints; phase 2 is a FULL
+    cluster restart that must restore-resume from step 2 and finish at 4.
+
+    Reference analog: accelerate's 4-process rendezvous
+    (config/accelerate_config.json) + resume-from-latest
+    (train_code/train_svd.py:599-627)."""
+    worker = os.path.join(os.path.dirname(__file__), "multihost_4proc_worker.py")
+    run = str(tmp_path / "run4")
+
+    # phase 1: fresh run, checkpoint at step 2
+    outs, procs = _launch_workers(worker, [run, "2"], 3600, n=4)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"phase1 proc {pid} failed:\n{out[-5000:]}"
+        assert f"FOURPROC_OK proc={pid} steps=2" in out, out[-5000:]
+        assert "mesh {'dcn': 2, 'dp': 1, 'fsdp': 2}" in out, out[-5000:]
+
+    # phase 2: full cluster restart, must RESUME (not retrain) to step 4
+    outs, procs = _launch_workers(worker, [run, "4"], 3600, n=4)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"phase2 proc {pid} failed:\n{out[-5000:]}"
+        assert f"FOURPROC_OK proc={pid} steps=4" in out, out[-5000:]
+        assert "resumed from" in out and "at step 2" in out, out[-5000:]

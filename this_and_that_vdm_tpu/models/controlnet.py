@@ -68,6 +68,20 @@ class ControlNetConfig:
         )
 
     @staticmethod
+    def mid():
+        """Companion of UNetConfig.mid() for the multi-chip dryrun: the real
+        4-level encoder topology and the GestureNet's REAL head counts
+        (5,10,20,20) — note index 2 differs from the UNet's (5,10,10,20)
+        (svd/temporal_controlnet.py:168) — at half width, real 32-group
+        norms, zero convs and conv_in_concat all present."""
+        return ControlNetConfig(
+            block_out_channels=(160, 320, 640, 640),
+            num_attention_heads=(5, 10, 20, 20),
+            cross_attention_dim=256,
+            remat=True,
+        )
+
+    @staticmethod
     def nano():
         """2-block companion of UNetConfig.nano() (sharded-path tests)."""
         return ControlNetConfig(

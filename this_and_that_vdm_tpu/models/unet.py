@@ -73,6 +73,24 @@ class UNetConfig:
         )
 
     @staticmethod
+    def mid():
+        """Mid-size config for the multi-chip dryrun (VERDICT r3 item 4):
+        the REAL 4-level topology, REAL head counts (5,10,10,20)
+        (svd/unet_spatio_temporal_condition.py:75-101), 2 layers per block
+        and real 32-group norms (every width divisible by 32), at half the
+        production width so the sharded train program exercises the true
+        layout/partitioning structure (per-head attention splits, fsdp
+        weight shardings, Mosaic kernel partitioning) on a virtual CPU mesh
+        in minutes.  Only widths are reduced: (160,320,640,640) vs
+        (320,640,1280,1280), cross-attention 256 vs 1024."""
+        return UNetConfig(
+            block_out_channels=(160, 320, 640, 640),
+            num_attention_heads=(5, 10, 10, 20),
+            cross_attention_dim=256,
+            remat=True,
+        )
+
+    @staticmethod
     def nano():
         """Minimal 2-block topology for sharded-path tests, where compile/
         trace wall-clock on the virtual CPU mesh dominates: one cross-attn
