@@ -1,0 +1,205 @@
+"""Native-FlowFormer functional check (VERDICT r4 item 5).
+
+The reference makes its users vendor FlowFormer (scripts/generate_traj.py:
+20-26) and ships neither its code nor weights, so no numerical oracle exists
+in-env (PARITY.md).  This harness upgrades the native architecture's claim
+from "architectural parity" to "learns flow and produces sane trajectories":
+
+1. **Synthetic-flow training** — a tiny-config FlowFormer
+   (models/flowformer.py) trained for a few hundred steps on known-motion
+   clips built from REAL Bridge_example fixture pixels
+   (curation/flow_eval.make_moving_patch_clip), with the RAFT-style
+   gamma-weighted sequence loss over the recurrent decoder's per-iteration
+   flows.  Reported: end-point error on a HELD-OUT velocity, before vs
+   after — random-init EPE ~ the patch's motion magnitude, trained EPE must
+   drop below 1 px on the moving patch.
+2. **Trajectory run through the real CLI** — the trained params are saved
+   with ``flowformer_params_save`` (self-describing ``__config__``) and fed
+   to ``python -m this_and_that_vdm_tpu.curation.trajectory IN
+   --native-flowformer ckpt`` on a fixture-pixel moving-patch instance dir;
+   the written ``traj_data.txt`` endpoint is compared against the exact
+   rigid-translation ground truth (same criterion as
+   perf_r4/flow_substitution.json's Farneback rows).
+
+    python perf_r5/flowformer_functional.py > perf_r5/flowformer_functional.json
+"""
+
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+import optax
+
+sys.path.insert(0, "/root/repo")
+
+from this_and_that_vdm_tpu.models import flowformer as ffm
+from this_and_that_vdm_tpu.curation import flow_eval, trajectory
+
+FIXTURES = sorted(glob.glob(
+    "/root/reference/__assets__/Bridge_example/*/im_0.jpg"))
+H, W = 96, 128          # multiples of 8; tiny-config stride is 8
+N_FRAMES = 12
+# (velocity, start_rc) chosen so the 24px patch stays on the 96x128 canvas
+# for all 12 frames (top/left in [0, H-24]/[0, W-24] throughout)
+TRAIN_VELOCITIES = [((4.0, 2.0), (16, 16)), ((2.0, 4.0), (16, 16)),
+                    ((-3.0, 2.0), (16, 70)), ((3.0, -2.0), (40, 16))]
+HELDOUT_VELOCITY = (3.0, 3.0)
+STEPS = 500
+GAMMA = 0.8
+
+
+def _background(path):
+    img = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+    return cv2.resize(img, (W, H))
+
+
+def _clip(bg, velocity, start_rc=(16, 16)):
+    return flow_eval.make_moving_patch_clip(
+        bg, n_frames=N_FRAMES, velocity=velocity, patch_size=24,
+        start_rc=start_rc)
+
+
+def _pairs_from_clip(frames, gt_flows):
+    """(im1, im2, gt_flow) triples for every consecutive frame pair."""
+    return [(frames[i].astype(np.float32), frames[i + 1].astype(np.float32),
+             gt_flows[i]) for i in range(len(gt_flows))]
+
+
+def _pool8(flow):
+    """Ground-truth flow at the decoder's 1/8 grid, in 1/8-px units."""
+    h, w = flow.shape[:2]
+    return flow.reshape(h // 8, 8, w // 8, 8, 2).mean((1, 3)) / 8.0
+
+
+def _epe(pred, gt, mask=None):
+    e = np.sqrt(((pred - gt) ** 2).sum(-1))
+    if mask is not None:
+        return float(e[mask].mean())
+    return float(e.mean())
+
+
+def main():
+    t0 = time.time()
+    cfg = ffm.FlowFormerConfig.tiny()
+    model = ffm.FlowFormer(cfg)
+
+    # train set: one clip per (fixture, velocity) — 4 fixtures x 1 velocity
+    # each keeps compile shapes constant and pixels diverse
+    train = []
+    for path, (vel, start) in zip(FIXTURES, TRAIN_VELOCITIES):
+        frames, gtf, _ = _clip(_background(path), vel, start_rc=start)
+        train += _pairs_from_clip(frames, gtf)
+    i1 = jnp.asarray(np.stack([p[0] for p in train]))
+    i2 = jnp.asarray(np.stack([p[1] for p in train]))
+    gt = jnp.asarray(np.stack([p[2] for p in train]))
+    gt_low = jnp.asarray(np.stack([_pool8(p[2]) for p in train]))
+
+    # held-out velocity on a held-out fixture's pixels
+    ho_frames, ho_gtf, _ = _clip(_background(FIXTURES[-1]), HELDOUT_VELOCITY,
+                                 start_rc=(24, 20))
+    ho_pairs = _pairs_from_clip(ho_frames, ho_gtf)
+    ho_i1 = jnp.asarray(np.stack([p[0] for p in ho_pairs]))
+    ho_i2 = jnp.asarray(np.stack([p[1] for p in ho_pairs]))
+    ho_gt = np.stack([p[2] for p in ho_pairs])
+    ho_mask = (np.abs(ho_gt).sum(-1) > 0)  # moving-patch pixels
+
+    params = model.init(jr.PRNGKey(0), i1[:1], i2[:1])
+    tx = optax.adam(2e-4)
+    opt = tx.init(params)
+
+    def loss_fn(p, a, b, g, g_low):
+        _, up, all_low = ffm.flowformer_forward(model, p, a, b,
+                                                return_all=True)
+        n = all_low.shape[0]
+        w = GAMMA ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+        seq = jnp.sum(w * jnp.mean(jnp.abs(all_low - g_low[None]),
+                                   axis=(1, 2, 3, 4)))
+        fin = jnp.mean(jnp.abs(up - g))
+        return fin + 0.25 * seq
+
+    @jax.jit
+    def step(p, o, a, b, g, g_low):
+        l, grads = jax.value_and_grad(loss_fn)(p, a, b, g, g_low)
+        upd, o = tx.update(grads, o)
+        return optax.apply_updates(p, upd), o, l
+
+    fwd = jax.jit(lambda p, a, b: ffm.flowformer_forward(model, p, a, b)[1])
+
+    def heldout_epe(p):
+        pred = np.asarray(fwd(p, ho_i1, ho_i2))
+        return dict(
+            epe_all=_epe(pred, ho_gt),
+            epe_moving=_epe(pred, ho_gt, ho_mask),
+        )
+
+    epe0 = heldout_epe(params)
+    n = i1.shape[0]
+    losses = []
+    rng = np.random.RandomState(0)
+    bs = 8
+    for it in range(STEPS):
+        idx = rng.choice(n, bs, replace=False)
+        params, opt, l = step(params, opt, i1[idx], i2[idx], gt[idx],
+                              gt_low[idx])
+        losses.append(float(l))
+        if (it + 1) % 100 == 0:
+            print(f"  step {it + 1}: loss {losses[-1]:.4f} "
+                  f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    epe1 = heldout_epe(params)
+
+    # --- trajectory through the REAL CLI on a fixture instance dir -------
+    tmp = tempfile.mkdtemp(prefix="ff_func_")
+    inst = os.path.join(tmp, "000")
+    os.makedirs(inst)
+    for i, f in enumerate(ho_frames):
+        cv2.imwrite(os.path.join(inst, f"im_{i}.jpg"),
+                    cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    ckpt = os.path.join(tmp, "ff_tiny_func.npz")
+    ffm.flowformer_params_save(ckpt, params, cfg=cfg)
+
+    messages = trajectory.main([tmp, "--native-flowformer", ckpt,
+                                "--frames", str(N_FRAMES)])
+    traj_file = os.path.join(inst, "traj_data.txt")
+    traj = []  # lines are "frame x y" (write_traj) -> (row, col)
+    for ln in open(traj_file):
+        _, x_, y_ = ln.split()
+        traj.append((float(y_), float(x_)))
+    gt_end = flow_eval.gt_endpoint_from(traj[0], N_FRAMES, HELDOUT_VELOCITY)
+    endpoint_err = float(np.hypot(traj[-1][0] - gt_end[0],
+                                  traj[-1][1] - gt_end[1]))
+
+    out = dict(
+        config="FlowFormerConfig.tiny",
+        resolution=f"{H}x{W}",
+        train=dict(steps=STEPS, clips=len(TRAIN_VELOCITIES),
+                   pairs=int(n), batch=bs, loss_first=losses[0],
+                   loss_last=float(np.mean(losses[-20:]))),
+        heldout=dict(velocity=list(HELDOUT_VELOCITY),
+                     epe_before=epe0, epe_after=epe1),
+        trajectory_cli=dict(messages=messages,
+                            n_points=len(traj),
+                            endpoint_err_px=endpoint_err,
+                            travel_px=float(np.hypot(
+                                (N_FRAMES - 1) * HELDOUT_VELOCITY[0],
+                                (N_FRAMES - 1) * HELDOUT_VELOCITY[1]))),
+        wall_s=round(time.time() - t0, 1),
+        note=("tiny config, synthetic known-motion fixtures: functional "
+              "evidence the native architecture learns flow end-to-end and "
+              "drives the curation chain; NOT a parity claim vs published "
+              "Sintel checkpoints (no oracle in-env, PARITY.md)"),
+    )
+    json.dump(out, sys.stdout, indent=1)
+    print()
+
+
+if __name__ == "__main__":
+    main()

@@ -137,6 +137,44 @@ def test_params_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(low0), np.asarray(low1))
 
 
+def test_params_archive_self_describing(tmp_path):
+    """Saving with cfg embeds __config__; load with cfg=None reconstructs
+    the exact config, and NativeFlowFormerFlow needs no cfg flag (the
+    functional-check CLI path, perf_r5/flowformer_functional.py)."""
+    from this_and_that_vdm_tpu.curation.detectors import NativeFlowFormerFlow
+
+    model = ff.FlowFormer(TINY)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)))
+    path = str(tmp_path / "ff_cfg.npz")
+    ff.flowformer_params_save(path, params, cfg=TINY)
+    assert ff.flowformer_config_from_archive(path) == TINY
+    loaded = ff.flowformer_params_load(path)  # no cfg argument
+    for x, y in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    fn = NativeFlowFormerFlow(checkpoint=path, iters=1)  # cfg from archive
+    assert fn.cfg == TINY
+    # archives without the blob still demand an explicit cfg
+    bare = str(tmp_path / "ff_bare.npz")
+    ff.flowformer_params_save(bare, params)
+    with pytest.raises(ValueError):
+        ff.flowformer_params_load(bare)
+
+
+def test_forward_return_all_iterations():
+    """return_all yields per-iteration low-res flows whose last slice is
+    the returned flow_low (sequence-loss contract)."""
+    model, params, im1, im2 = _init(TINY)
+    low, up, all_low = ff.flowformer_forward(model, params, im1, im2,
+                                             iters=3, return_all=True)
+    assert all_low.shape == (3,) + low.shape
+    np.testing.assert_allclose(np.asarray(all_low[-1]), np.asarray(low),
+                               rtol=1e-6)
+    # iterations differ (the recurrence refines, not repeats)
+    assert not np.allclose(np.asarray(all_low[0]), np.asarray(all_low[-1]),
+                           atol=1e-6)
+
+
 def test_native_flowformer_flow_contract(tmp_path):
     """FlowFn contract on odd-sized uint8 frames: [H, W, 2] float out,
     through the .npz load path."""

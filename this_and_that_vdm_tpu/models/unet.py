@@ -91,6 +91,24 @@ class UNetConfig:
         )
 
     @staticmethod
+    def small():
+        """Between tiny and mid, for the fast tier of the multi-chip dryrun
+        (VERDICT r4 item 1): the REAL 4-level topology with real 32-group
+        norms (every width divisible by 32) at quarter-ish width
+        (64,128,256,256) so one sharded train step executes in seconds on a
+        time-sliced virtual CPU mesh.  Head counts are uniform-dim (2,4,8,8)
+        — the real (5,10,10,20) heads are exercised by the dryrun's MID VL
+        leg and by ``UNetConfig.mid()`` tests."""
+        return UNetConfig(
+            block_out_channels=(64, 128, 256, 256),
+            num_attention_heads=(2, 4, 8, 8),
+            cross_attention_dim=128,
+            addition_time_embed_dim=32,
+            projection_class_embeddings_input_dim=96,
+            remat=True,
+        )
+
+    @staticmethod
     def nano():
         """Minimal 2-block topology for sharded-path tests, where compile/
         trace wall-clock on the virtual CPU mesh dominates: one cross-attn

@@ -336,7 +336,17 @@ def main(argv: Optional[list] = None):
 
     # shard
     state = jax.device_put(state, shard_params(state, mesh))
-    frozen = jax.device_put(frozen, replicate(frozen, mesh))
+    # Frozen towers: replicated by default; ``frozen_sharding: fsdp`` splits
+    # them over the fsdp axis like ZeRO-3 weights (XLA all-gathers each
+    # tensor at its use site). On the full-size VL program the bf16 frozen
+    # towers are ~2.1 GiB replicated, so fsdp=2 reclaims ~1.07 GiB/chip —
+    # the difference between OOM and fitting a 16 GiB chip (PERF.md, fsdp2
+    # row). The reference has no analog: its frozen towers are replicated
+    # per GPU (train_svd.py:436-440).
+    if str(cfg.get("frozen_sharding", "replicated")) == "fsdp":
+        frozen = jax.device_put(frozen, shard_params(frozen, mesh))
+    else:
+        frozen = jax.device_put(frozen, replicate(frozen, mesh))
 
     # rank-0 gating for IO (reference: accelerator.is_main_process at
     # train_svd.py:843,879); every process still executes the sharded step
