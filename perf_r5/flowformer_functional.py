@@ -48,12 +48,12 @@ FIXTURES = sorted(glob.glob(
     "/root/reference/__assets__/Bridge_example/*/im_0.jpg"))
 H, W = 96, 128          # multiples of 8; tiny-config stride is 8
 N_FRAMES = 12
-# (velocity, start_rc) chosen so the 24px patch stays on the 96x128 canvas
-# for all 12 frames (top/left in [0, H-24]/[0, W-24] throughout)
-TRAIN_VELOCITIES = [((4.0, 2.0), (16, 16)), ((2.0, 4.0), (16, 16)),
-                    ((-3.0, 2.0), (16, 70)), ((3.0, -2.0), (40, 16))]
+N_TRAIN_CLIPS = 24   # random (velocity, start, patch-source) per clip —
+                     # the first runs trained on 4 fixed clips and memorised
+                     # them (train loss <0.4, held-out epe_moving ~ the full
+                     # motion); a diverse pool forces actual correspondence
 HELDOUT_VELOCITY = (3.0, 3.0)
-STEPS = 500
+STEPS = 1200
 GAMMA = 0.8
 
 
@@ -92,11 +92,27 @@ def main():
     cfg = ffm.FlowFormerConfig.tiny()
     model = ffm.FlowFormer(cfg)
 
-    # train set: one clip per (fixture, velocity) — 4 fixtures x 1 velocity
-    # each keeps compile shapes constant and pixels diverse
+    # train set: N_TRAIN_CLIPS clips with random velocity/start/patch-source
+    # over all fixture backgrounds (constant shapes, diverse correspondence)
+    backgrounds = [_background(p) for p in FIXTURES]
+    drng = np.random.RandomState(7)
+    ps = 24
     train = []
-    for path, (vel, start) in zip(FIXTURES, TRAIN_VELOCITIES):
-        frames, gtf, _ = _clip(_background(path), vel, start_rc=start)
+    for k in range(N_TRAIN_CLIPS):
+        bg = backgrounds[k % len(backgrounds)]
+        while True:
+            vx, vy = drng.uniform(-4, 4, 2)
+            if np.hypot(vx, vy) >= 1.5:
+                break
+        span_x, span_y = (N_FRAMES - 1) * vx, (N_FRAMES - 1) * vy
+        lo_c, hi_c = max(1, -span_x), W - ps - 1 - max(1, span_x)
+        lo_r, hi_r = max(1, -span_y), H - ps - 1 - max(1, span_y)
+        r0 = drng.randint(int(lo_r), int(hi_r) + 1)
+        c0 = drng.randint(int(lo_c), int(hi_c) + 1)
+        pf = (drng.randint(0, H - ps + 1), drng.randint(0, W - ps + 1))
+        frames, gtf, _ = flow_eval.make_moving_patch_clip(
+            bg, n_frames=N_FRAMES, velocity=(vx, vy), patch_size=ps,
+            start_rc=(r0, c0), patch_from=pf)
         train += _pairs_from_clip(frames, gtf)
     i1 = jnp.asarray(np.stack([p[0] for p in train]))
     i2 = jnp.asarray(np.stack([p[1] for p in train]))
@@ -116,19 +132,29 @@ def main():
     tx = optax.adam(2e-4)
     opt = tx.init(params)
 
-    def loss_fn(p, a, b, g, g_low):
+    # moving-pixel weighting: the patch covers ~5% of pixels, so an
+    # unweighted L1 is minimised by "predict zero everywhere" (first run:
+    # epe_all 0.34 but epe_moving 4.16 ~= the full motion magnitude);
+    # weight moving pixels 20x in both the final and per-iteration terms
+    LAMBDA = 20.0
+    wmap = 1.0 + LAMBDA * (jnp.abs(gt).sum(-1) > 0)          # [N, H, W]
+    wmap_low = 1.0 + LAMBDA * (jnp.abs(gt_low).sum(-1) > 0)  # [N, H/8, W/8]
+
+    def loss_fn(p, a, b, g, g_low, w_hi, w_lo):
         _, up, all_low = ffm.flowformer_forward(model, p, a, b,
                                                 return_all=True)
         n = all_low.shape[0]
         w = GAMMA ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
-        seq = jnp.sum(w * jnp.mean(jnp.abs(all_low - g_low[None]),
-                                   axis=(1, 2, 3, 4)))
-        fin = jnp.mean(jnp.abs(up - g))
+        per_iter = (jnp.sum(w_lo[None, ..., None]
+                            * jnp.abs(all_low - g_low[None]), axis=(1, 2, 3, 4))
+                    / jnp.sum(w_lo))
+        seq = jnp.sum(w * per_iter)
+        fin = jnp.sum(w_hi[..., None] * jnp.abs(up - g)) / jnp.sum(w_hi) / 2.0
         return fin + 0.25 * seq
 
     @jax.jit
-    def step(p, o, a, b, g, g_low):
-        l, grads = jax.value_and_grad(loss_fn)(p, a, b, g, g_low)
+    def step(p, o, a, b, g, g_low, w_hi, w_lo):
+        l, grads = jax.value_and_grad(loss_fn)(p, a, b, g, g_low, w_hi, w_lo)
         upd, o = tx.update(grads, o)
         return optax.apply_updates(p, upd), o, l
 
@@ -149,7 +175,7 @@ def main():
     for it in range(STEPS):
         idx = rng.choice(n, bs, replace=False)
         params, opt, l = step(params, opt, i1[idx], i2[idx], gt[idx],
-                              gt_low[idx])
+                              gt_low[idx], wmap[idx], wmap_low[idx])
         losses.append(float(l))
         if (it + 1) % 100 == 0:
             print(f"  step {it + 1}: loss {losses[-1]:.4f} "
@@ -180,7 +206,7 @@ def main():
     out = dict(
         config="FlowFormerConfig.tiny",
         resolution=f"{H}x{W}",
-        train=dict(steps=STEPS, clips=len(TRAIN_VELOCITIES),
+        train=dict(steps=STEPS, clips=N_TRAIN_CLIPS,
                    pairs=int(n), batch=bs, loss_first=losses[0],
                    loss_last=float(np.mean(losses[-20:]))),
         heldout=dict(velocity=list(HELDOUT_VELOCITY),
